@@ -1,0 +1,329 @@
+"""Logical-source readers -> ``ray.data.Dataset`` of *projected, stringified,
+null-filtered* reference columns.
+
+Re-expresses /root/reference/src/morph_kgc/data_source/data_file.py as Ray
+Data reads: Parquet/CSV use native distributed readers with projection pushed
+to the scan; JSON/XML sources are read as one-binary-blob-per-file datasets
+whose iterator+flatten kernel (the reference's JSONPath / XPath semantics)
+runs inside ``map_batches`` so many files parallelize across the cluster.
+RML tabular views (rml:query) run through DuckDB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..config import Config
+from ..constants import (
+    CSV, JSON, PARQUET, PYTHON_SOURCE, RML_QUERY, TSV, XML,
+)
+from ..engine.kernels import source_prologue
+
+
+def _prologue_fn(references: list[str], na_values: list[str]):
+    refs = list(references)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return source_prologue(batch, refs, na_values)
+    return fn
+
+
+def _resolve_path(rule, config: Config):
+    """Absolutize file paths at plan time: Ray workers have their own CWD, so
+    relative rml:source paths resolve against config source_base_dir (with a
+    fallback dir, e.g. the mapping file's directory)."""
+    value = rule['logical_source_value']
+    if not (isinstance(value, str) and not os.path.isabs(value)
+            and not value.startswith(('http://', 'https://'))):
+        return value
+    base = config._options.get('source_base_dir') or os.getcwd()
+    candidate = os.path.join(base, value)
+    if os.path.exists(candidate):
+        return candidate
+    fallback = config._options.get('source_fallback_dir')
+    if fallback:
+        fb = os.path.join(fallback, value)
+        if os.path.exists(fb):
+            return fb
+    return candidate
+
+
+def read_source(rule, references: list[str], config: Config, python_source=None) -> ray.data.Dataset:
+    """Dataset of the rule's logical source, projected to ``references`` and
+    preprocessed per the reference contract (stringified, null-dropped,
+    block-locally deduped)."""
+    references = sorted(set(references))
+    if rule['source_type'] in ('CSV', 'TSV', 'PARQUET', 'JSON', 'XML', 'FEATHER', 'ORC') \
+            and rule['logical_source_type'] != RML_QUERY:
+        rule = rule.copy()
+        rule['logical_source_value'] = _resolve_path(rule, config)
+    source_type = rule['source_type']
+    na_values = config.get_na_values()
+    prologue = _prologue_fn(references, na_values)
+
+    if rule['logical_source_type'] == RML_QUERY:
+        ds = _read_tabular_view(rule)
+    elif source_type == PARQUET:
+        ds = ray.data.read_parquet(rule['logical_source_value'], columns=references)
+    elif source_type in (CSV, TSV):
+        ds = _read_csv(rule, references, source_type)
+    elif source_type == JSON:
+        return _read_json(rule, references, na_values)
+    elif source_type == XML:
+        return _read_xml(rule, references, na_values)
+    elif source_type == PYTHON_SOURCE:
+        ds = _read_python_source(rule, references, python_source)
+    elif source_type in ('FEATHER', 'ORC'):
+        ds = _read_local_table(rule, source_type, references)
+    elif source_type == 'DTA':
+        ds = ray.data.from_pandas(pd.read_stata(rule['logical_source_value'], columns=references,
+                                                convert_dates=False, convert_categoricals=False,
+                                                preserve_dtypes=False))
+    elif source_type in ('XLSX', 'XLS', 'ODS'):
+        raise NotImplementedError(
+            f'{source_type} sources need the optional dependency openpyxl/odfpy '
+            '(not available in this environment)')
+    elif source_type in ('SAS7BDAT', 'XPT', 'SAV', 'ZSAV'):
+        raise NotImplementedError(f'{source_type} sources need optional pandas IO dependencies')
+    else:
+        raise ValueError(f'Unsupported source type `{source_type}`.')
+
+    return ds.map_batches(prologue, batch_format='pyarrow')
+
+
+def _read_csv(rule, references, source_type) -> ray.data.Dataset:
+    """CSV/TSV with every referenced column read as string and no NA
+    interpretation (mirrors pd.read_table(dtype=str, na_filter=False),
+    data_file.py:63-88)."""
+    import pyarrow as pa
+    from pyarrow import csv as pacsv
+
+    path = rule['logical_source_value']
+    delimiter = ',' if source_type == CSV else '\t'
+    # referenced columns read as string: mirrors pd.read_table(dtype=str) so
+    # '30' stays '30' (not inferred double -> '30.0')
+    convert = pacsv.ConvertOptions(strings_can_be_null=False, null_values=[],
+                                   column_types={r: pa.string() for r in references})
+    parse = pacsv.ParseOptions(delimiter=delimiter)
+    return ray.data.read_csv(path, convert_options=convert, parse_options=parse)
+
+
+def _read_local_table(rule, source_type, references) -> ray.data.Dataset:
+    import pyarrow.feather as feather
+    import pyarrow.orc as orc
+
+    path = rule['logical_source_value']
+    if source_type == 'FEATHER':
+        table = feather.read_table(path, columns=references)
+    else:
+        table = orc.ORCFile(path).read(columns=references)
+    return ray.data.from_arrow(table)
+
+
+def _read_tabular_view(rule) -> ray.data.Dataset:
+    """rml:query over tabular files via DuckDB (data_file.py:59-60).
+
+    The view SQL addresses local files; DuckDB evaluates it once on the
+    driver and the result is distributed.  Views are dimension-scale in
+    every known workload; large fact tables use direct file sources."""
+    import duckdb
+
+    rel = duckdb.query(rule['logical_source_value'])
+    return ray.data.from_arrow(rel.arrow())
+
+
+def _read_python_source(rule, references, python_source) -> ray.data.Dataset:
+    """In-memory dict/DataFrame/list sources (python_data.py:17-66)."""
+    name = str(rule['logical_source_value'])[1:-1]  # strip '{' '}'
+    if not python_source or name not in python_source:
+        raise ValueError(f'In-memory source `{name}` not supplied.')
+    data = python_source[name]
+    if isinstance(data, str):
+        data = json.loads(data)
+    if isinstance(data, pd.DataFrame):
+        df = data.copy()
+    elif isinstance(data, dict):
+        df = pd.json_normalize(list(_normalize_hierarchical_data(data)))
+    elif isinstance(data, (list, tuple)):
+        df = pd.json_normalize(list(_normalize_hierarchical_data(list(data))))
+    else:
+        raise ValueError(f'Unsupported in-memory source type {type(data)}')
+    # reference strips double quotes from object columns (python_data.py:30-34)
+    for col in df.columns:
+        if df[col].dtype == object:
+            df[col] = df[col].map(lambda v: v.replace('"', '') if isinstance(v, str) else v)
+    return ray.data.from_pandas(df)
+
+
+# --------------------------------------------------------------------------
+# hierarchical sources: JSON (JSONPath iterator) and XML (XPath iterator)
+# --------------------------------------------------------------------------
+
+def _normalize_hierarchical_data(data):
+    """Cartesian flattening of dicts-of-lists (reference utils.py:266-283)."""
+    from itertools import product
+    if isinstance(data, dict):
+        keys = data.keys()
+        values = (_normalize_hierarchical_data(i) for i in data.values())
+        for i in product(*values):
+            yield dict(zip(keys, i))
+    elif isinstance(data, list):
+        if len(data) == 0:
+            yield None
+        else:
+            for i in data:
+                yield from _normalize_hierarchical_data(i)
+    else:
+        yield data
+
+
+class JsonIteratorKernel:
+    """Actor-pool kernel: JSONPath iterator + flatten, one file per input row.
+
+    Matches the reference JSON reader semantics (data_file.py:141-167):
+    apply the iterator, flatten hierarchical records to the cartesian product
+    of their list values, json_normalize, and drop rows with nulls."""
+
+    def __init__(self, iterator: str, references: list[str]):
+        from jsonpath_ng.ext import parse as jsonpath_parse
+        self.references = list(references)
+        self.expr = jsonpath_parse(iterator)
+        # jsonpath_ng's `.*` only matches dict fields; the reference's
+        # JSONPath lib also iterates arrays with `$.*` — keep a `[*]`-mutated
+        # fallback expression for list-rooted documents
+        alt = re.sub(r'\.\*', '[*]', iterator)
+        self.alt_expr = jsonpath_parse(alt) if alt != iterator else None
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for blob in batch['bytes']:
+            data = json.loads(blob.decode('utf-8') if isinstance(blob, (bytes, bytearray)) else blob)
+            matches = [m.value for m in self.expr.find(data)]
+            if not matches and self.alt_expr is not None:
+                matches = [m.value for m in self.alt_expr.find(data)]
+            # project to the top-level keys of the references BEFORE
+            # flattening (the reference builds this projection into its
+            # JSONPath, data_file.py:152-157): unrelated empty-list keys must
+            # not null out whole records
+            top_keys = {r.split('.')[0] for r in self.references}
+            matches = [{k: v for k, v in m.items() if k in top_keys} if isinstance(m, dict) else m
+                       for m in matches]
+            records = [r for r in _normalize_hierarchical_data(matches)
+                       if isinstance(r, dict) and None not in r.values()]
+            df = pd.json_normalize(records)
+            # references must match json_normalize's flattened column names
+            # exactly (reference semantics: a non-matching reference becomes
+            # an all-null column and its rule generates nothing)
+            df = df.reindex(columns=self.references)
+            df = df.dropna(axis=0, how='any')
+            # convert_dtypes keeps integers integral (10 -> '10', not '10.0')
+            # even when a sibling record's missing key upcast the column
+            df = df.convert_dtypes(convert_boolean=False)
+            frames.append(df)
+        if not frames:
+            return pd.DataFrame({r: pd.Series(dtype=object) for r in self.references})
+        out = pd.concat(frames, ignore_index=True)
+        return out.astype(str)
+
+
+def _read_json(rule, references, na_values) -> ray.data.Dataset:
+    path = rule['logical_source_value']
+    ds = ray.data.read_binary_files(path)
+    kernel = JsonIteratorKernel(rule['iterator'], references)
+    ds = ds.map_batches(kernel.__call__, batch_format='pandas')
+    return ds.map_batches(_prologue_fn(references, na_values), batch_format='pyarrow')
+
+
+class XmlIteratorKernel:
+    """XPath iterator over XML files with element/attribute references.
+
+    The reference uses elementpath (XPath 3.0, data_file.py:188-253); this
+    environment has only the stdlib, so a practical subset is supported via
+    ElementTree covering the corpus's reference shapes:
+
+      '@attr'          attribute of the iterator node
+      'elem@attr'      attribute of matching child elements (explodes)
+      'a/b@attr'       attribute at a nested path
+      '.'              text of the iterator node
+      'a/b'            text of matching descendants (explodes)
+      '/*', '/a/b', '//a', 'a'  as iterator paths
+
+    Multi-valued references explode (cartesian across references,
+    data_file.py:250-251)."""
+
+    def __init__(self, iterator: str, references: list[str]):
+        self.iterator = iterator
+        self.references = list(references)
+
+    @staticmethod
+    def _iter_path(xpath: str) -> str:
+        p = xpath.strip()
+        if p.startswith('//'):
+            return './/' + p[2:]
+        if p == '/*' or p == '/':
+            return '.'
+        if p.startswith('/'):
+            # ElementTree roots at the document element: /root/a/b -> ./a/b
+            parts = [s for s in p.split('/') if s]
+            return './' + '/'.join(parts[1:]) if len(parts) > 1 else '.'
+        return p
+
+    @staticmethod
+    def _split_attr(ref: str) -> tuple[str, str | None]:
+        """'elem@attr' / 'a/b@attr' / '@attr' -> (elem_path, attr)."""
+        r = ref.strip()
+        if '@' in r:
+            elem, attr = r.rsplit('@', 1)
+            elem = elem.rstrip('/')
+            return elem, attr
+        return r, None
+
+    def _extract(self, node, ref: str) -> list[str]:
+        elem_path, attr = self._split_attr(ref)
+        if attr is not None:
+            if elem_path in ('', '.'):
+                v = node.get(attr)
+                return [v] if v is not None else []
+            return [c.get(attr) for c in node.findall(elem_path) if c.get(attr) is not None]
+        if elem_path in ('.', 'text()'):
+            return [node.text] if node.text is not None else []
+        return [c.text for c in node.findall(elem_path) if c.text is not None]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import xml.etree.ElementTree as ET
+        from itertools import product
+
+        rows = []
+        for blob in batch['bytes']:
+            text = blob.decode('utf-8') if isinstance(blob, (bytes, bytearray)) else blob
+            root = ET.fromstring(text)
+            it = self._iter_path(self.iterator)
+            nodes = [root] if it == '.' else root.findall(it)
+            for node in nodes:
+                ref_values = []
+                ok = True
+                for ref in self.references:
+                    vals = self._extract(node, ref)
+                    if not vals:
+                        ok = False
+                        break
+                    ref_values.append(vals)
+                if not ok:
+                    continue
+                for combo in product(*ref_values):
+                    rows.append(dict(zip(self.references, combo)))
+        return pd.DataFrame(rows, columns=self.references, dtype=object)
+
+
+def _read_xml(rule, references, na_values) -> ray.data.Dataset:
+    path = rule['logical_source_value']
+    ds = ray.data.read_binary_files(path)
+    kernel = XmlIteratorKernel(rule['iterator'], references)
+    ds = ds.map_batches(kernel.__call__, batch_format='pandas')
+    return ds.map_batches(_prologue_fn(references, na_values), batch_format='pyarrow')
