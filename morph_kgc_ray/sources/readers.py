@@ -68,7 +68,7 @@ def read_source(rule, references: list[str], config: Config, python_source=None)
     prologue = _prologue_fn(references, na_values)
 
     if rule['logical_source_type'] == RML_QUERY:
-        ds = _read_tabular_view(rule)
+        ds = _read_tabular_view(rule, config)
     elif source_type == PARQUET:
         ds = ray.data.read_parquet(rule['logical_source_value'], columns=references)
     elif source_type in (CSV, TSV):
@@ -106,6 +106,19 @@ def _read_csv(rule, references, source_type) -> ray.data.Dataset:
 
     path = rule['logical_source_value']
     delimiter = ',' if source_type == CSV else '\t'
+    # delimiter sniffing fallback (reference issue #81, data_file.py:78-88):
+    # if the header doesn't contain the expected delimiter, pick the most
+    # frequent candidate from the first line
+    try:
+        with open(path if not isinstance(path, list) else path[0], 'rb') as f:
+            header = f.readline().decode('utf-8', errors='replace')
+        if delimiter not in header:
+            candidates = {d: header.count(d) for d in (',', '\t', ';', '|')}
+            best = max(candidates, key=candidates.get)
+            if candidates[best] > 0:
+                delimiter = best
+    except OSError:
+        pass
     # referenced columns read as string: mirrors pd.read_table(dtype=str) so
     # '30' stays '30' (not inferred double -> '30.0')
     convert = pacsv.ConvertOptions(strings_can_be_null=False, null_values=[],
@@ -126,39 +139,55 @@ def _read_local_table(rule, source_type, references) -> ray.data.Dataset:
     return ray.data.from_arrow(table)
 
 
-def _read_tabular_view(rule) -> ray.data.Dataset:
+def _read_tabular_view(rule, config: Config) -> ray.data.Dataset:
     """rml:query over tabular files via DuckDB (data_file.py:59-60).
 
-    The view SQL addresses local files; DuckDB evaluates it once on the
-    driver and the result is distributed.  Views are dimension-scale in
-    every known workload; large fact tables use direct file sources."""
+    The view SQL addresses local files (relative to source_base_dir); DuckDB
+    evaluates it once on the driver and the result is distributed.  Views are
+    dimension-scale in every known workload; large fact tables use direct
+    file sources."""
     import duckdb
 
-    rel = duckdb.query(rule['logical_source_value'])
-    return ray.data.from_arrow(rel.arrow())
+    base = config._options.get('source_base_dir')
+    cwd = os.getcwd()
+    try:
+        if base:
+            os.chdir(base)
+        try:
+            table = duckdb.query(rule['logical_source_value']).arrow()
+        except Exception:
+            fallback = config._options.get('source_fallback_dir')
+            if not fallback:
+                raise
+            os.chdir(fallback)
+            table = duckdb.query(rule['logical_source_value']).arrow()
+    finally:
+        os.chdir(cwd)
+    return ray.data.from_arrow(table)
 
 
 def _read_python_source(rule, references, python_source) -> ray.data.Dataset:
-    """In-memory dict/DataFrame/list sources (python_data.py:17-66)."""
+    """In-memory dict/DataFrame/list/JSON-string sources (python_data.py:17-66)."""
     name = str(rule['logical_source_value'])[1:-1]  # strip '{' '}'
     if not python_source or name not in python_source:
         raise ValueError(f'In-memory source `{name}` not supplied.')
     data = python_source[name]
-    if isinstance(data, str):
-        data = json.loads(data)
     if isinstance(data, pd.DataFrame):
         df = data.copy()
-    elif isinstance(data, dict):
-        df = pd.json_normalize(list(_normalize_hierarchical_data(data)))
-    elif isinstance(data, (list, tuple)):
-        df = pd.json_normalize(list(_normalize_hierarchical_data(list(data))))
-    else:
-        raise ValueError(f'Unsupported in-memory source type {type(data)}')
-    # reference strips double quotes from object columns (python_data.py:30-34)
-    for col in df.columns:
-        if df[col].dtype == object:
+        # reference strips double quotes from object columns (python_data.py:22-26)
+        for col in df.select_dtypes(include=['object']).columns:
             df[col] = df[col].map(lambda v: v.replace('"', '') if isinstance(v, str) else v)
-    return ray.data.from_pandas(df)
+        df = df[[r for r in references if r in df.columns]]
+    elif isinstance(data, (list, tuple)):
+        df = pd.DataFrame(list(data), columns=references)
+    else:
+        if isinstance(data, str):
+            data = json.loads(data)
+        if not isinstance(data, dict):
+            raise ValueError('Found an invalid in-memory data structure.')
+        kernel = JsonIteratorKernel(rule['iterator'], references, project_full_reference=True)
+        df = kernel.iterate_object(data)
+    return ray.data.from_pandas(df) if len(df) else ray.data.from_pandas(df.astype(object))
 
 
 # --------------------------------------------------------------------------
@@ -190,7 +219,7 @@ class JsonIteratorKernel:
     apply the iterator, flatten hierarchical records to the cartesian product
     of their list values, json_normalize, and drop rows with nulls."""
 
-    def __init__(self, iterator: str, references: list[str]):
+    def __init__(self, iterator: str, references: list[str], project_full_reference: bool = False):
         from jsonpath_ng.ext import parse as jsonpath_parse
         self.references = list(references)
         self.expr = jsonpath_parse(iterator)
@@ -199,33 +228,37 @@ class JsonIteratorKernel:
         # fallback expression for list-rooted documents
         alt = re.sub(r'\.\*', '[*]', iterator)
         self.alt_expr = jsonpath_parse(alt) if alt != iterator else None
+        # file reader projects to top-level keys of references
+        # (data_file.py:152-157); in-memory projects full dotted keys
+        # (python_data.py:52-56) — top-level is the common effective behavior
+        self.project_full_reference = project_full_reference
+
+    def iterate_object(self, data) -> pd.DataFrame:
+        matches = [m.value for m in self.expr.find(data)]
+        if not matches and self.alt_expr is not None:
+            matches = [m.value for m in self.alt_expr.find(data)]
+        # project to the top-level keys of the references BEFORE flattening:
+        # unrelated empty-list keys must not null out whole records
+        top_keys = {r.split('.')[0] for r in self.references}
+        matches = [{k: v for k, v in m.items() if k in top_keys} if isinstance(m, dict) else m
+                   for m in matches]
+        records = [r for r in _normalize_hierarchical_data(matches)
+                   if isinstance(r, dict) and None not in r.values()]
+        df = pd.json_normalize(records)
+        # references must match json_normalize's flattened column names
+        # exactly (reference semantics: a non-matching reference becomes
+        # an all-null column and its rule generates nothing)
+        df = df.reindex(columns=self.references)
+        df = df.dropna(axis=0, how='any')
+        # convert_dtypes keeps integers integral (10 -> '10', not '10.0')
+        # even when a sibling record's missing key upcast the column
+        return df.convert_dtypes(convert_boolean=False)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         frames = []
         for blob in batch['bytes']:
             data = json.loads(blob.decode('utf-8') if isinstance(blob, (bytes, bytearray)) else blob)
-            matches = [m.value for m in self.expr.find(data)]
-            if not matches and self.alt_expr is not None:
-                matches = [m.value for m in self.alt_expr.find(data)]
-            # project to the top-level keys of the references BEFORE
-            # flattening (the reference builds this projection into its
-            # JSONPath, data_file.py:152-157): unrelated empty-list keys must
-            # not null out whole records
-            top_keys = {r.split('.')[0] for r in self.references}
-            matches = [{k: v for k, v in m.items() if k in top_keys} if isinstance(m, dict) else m
-                       for m in matches]
-            records = [r for r in _normalize_hierarchical_data(matches)
-                       if isinstance(r, dict) and None not in r.values()]
-            df = pd.json_normalize(records)
-            # references must match json_normalize's flattened column names
-            # exactly (reference semantics: a non-matching reference becomes
-            # an all-null column and its rule generates nothing)
-            df = df.reindex(columns=self.references)
-            df = df.dropna(axis=0, how='any')
-            # convert_dtypes keeps integers integral (10 -> '10', not '10.0')
-            # even when a sibling record's missing key upcast the column
-            df = df.convert_dtypes(convert_boolean=False)
-            frames.append(df)
+            frames.append(self.iterate_object(data))
         if not frames:
             return pd.DataFrame({r: pd.Series(dtype=object) for r in self.references})
         out = pd.concat(frames, ignore_index=True)
@@ -284,16 +317,16 @@ class XmlIteratorKernel:
             return elem, attr
         return r, None
 
-    def _extract(self, node, ref: str) -> list[str]:
+    def _extract(self, node, ref: str, ns: dict) -> list[str]:
         elem_path, attr = self._split_attr(ref)
         if attr is not None:
             if elem_path in ('', '.'):
                 v = node.get(attr)
                 return [v] if v is not None else []
-            return [c.get(attr) for c in node.findall(elem_path) if c.get(attr) is not None]
+            return [c.get(attr) for c in node.findall(elem_path, ns) if c.get(attr) is not None]
         if elem_path in ('.', 'text()'):
             return [node.text] if node.text is not None else []
-        return [c.text for c in node.findall(elem_path) if c.text is not None]
+        return [c.text for c in node.findall(elem_path, ns) if c.text is not None]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         import xml.etree.ElementTree as ET
@@ -303,13 +336,16 @@ class XmlIteratorKernel:
         for blob in batch['bytes']:
             text = blob.decode('utf-8') if isinstance(blob, (bytes, bytearray)) else blob
             root = ET.fromstring(text)
+            # namespace prefixes from the document, for prefixed XPath steps
+            import io
+            ns = dict(px for ev, px in ET.iterparse(io.StringIO(text), events=('start-ns',)))
             it = self._iter_path(self.iterator)
-            nodes = [root] if it == '.' else root.findall(it)
+            nodes = [root] if it == '.' else root.findall(it, ns)
             for node in nodes:
                 ref_values = []
                 ok = True
                 for ref in self.references:
-                    vals = self._extract(node, ref)
+                    vals = self._extract(node, ref, ns)
                     if not vals:
                         ok = False
                         break

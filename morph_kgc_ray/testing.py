@@ -15,6 +15,55 @@ import re
 from collections import defaultdict
 
 
+def _parse_quoted(line: str, i: int) -> tuple[str, int]:
+    """Parse an RDF-star quoted triple starting at ``i`` ('<<').  Returns a
+    whitespace-canonical token '<< s p o >>' (goldens are sometimes written
+    without spaces, where '>>>' is ambiguous to naive depth counting)."""
+    n = len(line)
+    assert line.startswith('<<', i)
+    i += 2
+    inner: list[str] = []
+    while i < n:
+        c = line[i]
+        if c in ' \t':
+            i += 1
+            continue
+        if line.startswith('>>', i):
+            i += 2
+            break
+        if line.startswith('<<', i):
+            tok, i = _parse_quoted(line, i)
+            inner.append(tok)
+        elif c == '<':
+            j = line.index('>', i)
+            inner.append(line[i:j + 1])
+            i = j + 1
+        elif c == '"':
+            j = i + 1
+            while j < n:
+                if line[j] == '\\':
+                    j += 2
+                    continue
+                if line[j] == '"':
+                    break
+                j += 1
+            k = j + 1
+            if k < n and line[k] == '@':
+                while k < n and line[k] not in ' \t>':
+                    k += 1
+            elif line.startswith('^^', k):
+                k = line.index('>', k) + 1
+            inner.append(line[i:k])
+            i = k
+        else:
+            j = i
+            while j < n and line[j] not in ' \t' and not line.startswith('>>', j):
+                j += 1
+            inner.append(line[i:j])
+            i = j
+    return '<< ' + ' '.join(inner) + ' >>', i
+
+
 def tokenize_nq_line(line: str) -> list[str] | None:
     """Split one N-Quads line into term strings (ignores the trailing '.').
 
@@ -33,21 +82,8 @@ def tokenize_nq_line(line: str) -> list[str] | None:
         if c == '.' and i >= n - 1:
             break
         if line.startswith('<<', i):
-            depth = 0
-            j = i
-            while j < n:
-                if line.startswith('<<', j):
-                    depth += 1
-                    j += 2
-                elif line.startswith('>>', j):
-                    depth -= 1
-                    j += 2
-                    if depth == 0:
-                        break
-                else:
-                    j += 1
-            terms.append(line[i:j])
-            i = j
+            token, i = _parse_quoted(line, i)
+            terms.append(token)
         elif c == '<':
             j = line.index('>', i)
             terms.append(line[i:j + 1])
