@@ -9,6 +9,14 @@ IMPORTANT: library functions never call ray.init()/ray.shutdown(); the host
 process owns the Ray session (Ray Data auto-inits when standalone).
 """
 
+from .engine.dedup import ensure_hash_shuffle
+
+# The engine's distributed distinct/joins rely on key-based repartitioning,
+# which Ray Data gates behind the hash-shuffle strategy.  DataContext is a
+# process-global captured by datasets at creation time, so flip it at import
+# (before any Dataset exists).
+ensure_hash_shuffle()
+
 from .config import Config
 from .engine.materializer import materialize_dataset, materialize_set, materialize_to_dir
 

@@ -31,14 +31,36 @@ def _local_distinct(cols):
     return fn
 
 
+def ensure_hash_shuffle() -> bool:
+    """Key-based repartition needs the hash-shuffle strategy; enable it once
+    per process.  Returns False if this Ray build lacks it (sort fallback)."""
+    try:
+        import os
+
+        from ray.data.context import ShuffleStrategy
+        ctx = ray.data.DataContext.get_current()
+        if ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
+            ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        # cap shuffle-aggregator actors so they cannot starve the map/actor
+        # stages on small nodes (each aggregator holds a CPU slot); scale-out
+        # clusters raise this with the CPU count automatically
+        ncpu = os.cpu_count() or 8
+        ctx.max_hash_shuffle_aggregators = max(2, min(16, ncpu // 2))
+        # fractional CPUs per partition so aggregators pack densely
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
+        ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.05
+        return True
+    except Exception:
+        return False
+
+
 def distinct(ds: ray.data.Dataset, cols: list[str], num_partitions: int | None = None) -> ray.data.Dataset:
     """Globally exact distinct over ``cols`` (which must be all columns)."""
     cols = list(cols)
     ds = ds.map_batches(_local_distinct(cols), batch_format='pyarrow')
-    try:
-        ds = ds.repartition(num_blocks=num_partitions, keys=cols, sort=False)
-    except Exception:
-        # fallback: sort-based grouped count, then drop the count column
-        agg = ds.groupby(cols, num_partitions=num_partitions).count()
-        return agg.select_columns(cols)
-    return ds.map_batches(_local_distinct(cols), batch_format='pyarrow')
+    if ensure_hash_shuffle():
+        ds = ds.repartition(num_blocks=num_partitions or 32, keys=cols, sort=False)
+        return ds.map_batches(_local_distinct(cols), batch_format='pyarrow')
+    # fallback: sort-based grouped count, then drop the count column
+    agg = ds.groupby(cols, num_partitions=num_partitions).count()
+    return agg.select_columns(cols)

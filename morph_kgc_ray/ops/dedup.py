@@ -1,0 +1,271 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes:
+- exact dedup: block-local reduce -> hash-repartition by key -> block-local
+  reduce again.  Both reduces are the same associative kernel, so the result
+  is exact with one keyed exchange and no sort.
+- MinHash-LSH: per-batch vectorized shingling+minhash (numpy), explode to
+  (band, band_hash, doc_id) rows, groupby band buckets (the only shuffle —
+  band hash distributes uniformly so no salting needed), emit candidate
+  pairs per bucket, verify with exact n-gram Jaccard, connected components
+  by iterated min-label propagation (a few keyed groupbys, not a driver
+  loop).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..engine.dedup import distinct  # noqa: F401  (re-exported)
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(ds: ray.data.Dataset, key_cols: list[str], id_col: str,
+                num_partitions: int = 32) -> ray.data.Dataset:
+    """Keep one representative (min id) per distinct key.  Associative
+    min-reduce: local per block, hash exchange on key, local again."""
+    key_cols = list(key_cols)
+
+    def local_min(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select(key_cols + [id_col])
+        names = key_cols + [id_col]
+        t = t.select(names)
+        safe = [f'k{i}' for i in range(len(key_cols))] + ['v']
+        t = t.rename_columns(safe)
+        out = t.group_by(safe[:-1], use_threads=False).aggregate([('v', 'min')])
+        return out.rename_columns(key_cols + [id_col])
+
+    ds = ds.map_batches(local_min, batch_format='pyarrow')
+    try:
+        ds = ds.repartition(num_partitions, keys=key_cols, sort=False)
+        return ds.map_batches(local_min, batch_format='pyarrow')
+    except Exception:
+        agg = ds.groupby(key_cols).min(id_col)
+        return agg.map_batches(
+            lambda t: t.rename_columns(key_cols + [id_col]), batch_format='pyarrow')
+
+
+# --------------------------------------------------------------------------
+# shingling + minhash (vectorized)
+# --------------------------------------------------------------------------
+
+_M61 = (1 << 61) - 1
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """64-bit hashes of the k-word shingles of a document."""
+    words = text.split()
+    if len(words) < k:
+        shingles = [' '.join(words)] if words else []
+    else:
+        shingles = [' '.join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    if not shingles:
+        return np.zeros(1, dtype=np.uint64)
+    # cheap stable string hash (FNV-1a via numpy bytes would need loops; use
+    # python hash of bytes via int.from_bytes of blake2b-8 for stability)
+    import hashlib
+    out = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), 'little') for s in shingles),
+        dtype=np.uint64, count=len(shingles))
+    return out
+
+
+class MinHashKernel:
+    """Per-batch MinHash signatures.  The permutation coefficients are drawn
+    ONCE per actor in __init__ from a fixed seed (state amortized across
+    batches — actor-pool pattern)."""
+
+    def __init__(self, num_perm: int = 64, k: int = 5, text_col: str = 'text', seed: int = 7):
+        rng = np.random.RandomState(seed)
+        # 31-bit coefficients x 32-bit shingle hashes stay inside uint64,
+        # so the (a*h+b) % p permutation is exact and fully vectorized
+        self.a = rng.randint(1, 1 << 31, size=num_perm).astype(np.uint64)
+        self.b = rng.randint(0, 1 << 31, size=num_perm).astype(np.uint64)
+        self.num_perm = num_perm
+        self.k = k
+        self.text_col = text_col
+
+    def signature(self, text: str) -> np.ndarray:
+        h = _shingle_hashes(text, self.k) & np.uint64(0xFFFFFFFF)
+        vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % np.uint64(_M61)
+        return vals.min(axis=1)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t[self.text_col].to_pylist()
+        sigs = np.vstack([self.signature(x or '') for x in texts]) if texts else \
+            np.zeros((0, self.num_perm), dtype=np.uint64)
+        return t.append_column('minhash', pa.array(list(sigs), pa.list_(pa.uint64())))
+
+
+def minhash_signatures(ds: ray.data.Dataset, num_perm: int = 64, k: int = 5,
+                       text_col: str = 'text', concurrency: int = 4) -> ray.data.Dataset:
+    return ds.map_batches(MinHashKernel(num_perm, k, text_col), batch_format='pyarrow',
+                          concurrency=concurrency, batch_size=2048)
+
+
+def minhash_lsh_candidates(ds: ray.data.Dataset, id_col: str = 'doc_id', num_perm: int = 64,
+                           bands: int = 16, text_col: str = 'text') -> ray.data.Dataset:
+    """Candidate near-duplicate pairs via banded LSH.
+
+    Pipeline: signatures (actor pool) -> explode to (band, band_hash, id)
+    -> groupby band bucket -> pairs within bucket.  Returns columns
+    (id_a, id_b) with id_a < id_b, distinct."""
+    rows_per_band = num_perm // bands
+    sig_ds = minhash_signatures(ds.select_columns([id_col, text_col]), num_perm=num_perm,
+                                text_col=text_col)
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sigs = np.array(t['minhash'].to_pylist(), dtype=np.uint64)
+        if len(ids) == 0:
+            return pa.table({'band': pa.array([], pa.int32()),
+                             'band_hash': pa.array([], pa.uint64()),
+                             id_col: pa.array([], pa.int64())})
+        out_band, out_hash, out_id = [], [], []
+        for b in range(bands):
+            chunk = sigs[:, b * rows_per_band:(b + 1) * rows_per_band]
+            # mix the band rows into one 64-bit bucket hash
+            bh = np.zeros(len(ids), dtype=np.uint64)
+            for c in range(chunk.shape[1]):
+                bh = bh * np.uint64(1000003) + chunk[:, c]
+            out_band.append(np.full(len(ids), b, dtype=np.int32))
+            out_hash.append(bh)
+            out_id.append(ids)
+        return pa.table({'band': pa.array(np.concatenate(out_band)),
+                         'band_hash': pa.array(np.concatenate(out_hash)),
+                         id_col: pa.array(np.concatenate(out_id))})
+
+    band_ds = sig_ds.map_batches(explode_bands, batch_format='pyarrow')
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col].tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({'id_a': [], 'id_b': []})
+        # pair every member with the bucket minimum (enough for clustering;
+        # avoids quadratic blowup on hot buckets)
+        m = ids[0]
+        return pd.DataFrame({'id_a': [m] * (len(ids) - 1), 'id_b': ids[1:]})
+
+    pairs = band_ds.groupby(['band', 'band_hash']).map_groups(pairs_in_bucket, batch_format='pandas')
+    return distinct(pairs, ['id_a', 'id_b'])
+
+
+def minhash_dedup_clusters(ds: ray.data.Dataset, id_col: str = 'doc_id', text_col: str = 'text',
+                           num_perm: int = 64, bands: int = 16, rounds: int = 3) -> ray.data.Dataset:
+    """Assign each involved doc a cluster label = min reachable doc id, by a
+    few rounds of min-label propagation over the candidate-pair graph (keyed
+    groupbys; no driver-side union-find)."""
+    pairs = minhash_lsh_candidates(ds, id_col=id_col, num_perm=num_perm, bands=bands,
+                                   text_col=text_col).materialize()
+
+    # edges both directions: (node, neighbor_label)
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t['id_a']
+        b = t['id_b']
+        return pa.table({'node': pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+                         'label': pa.concat_arrays([b.combine_chunks(), a.combine_chunks()])})
+
+    labels = pairs.map_batches(both_dirs, batch_format='pyarrow') \
+                  .groupby('node').min('label')
+    labels = labels.map_batches(lambda t: t.rename_columns(['node', 'label']), batch_format='pyarrow')
+
+    for _ in range(rounds - 1):
+        lab = labels.materialize()
+        lab_pd = lab.to_pandas()  # label maps are small relative to corpus
+        import ray as _ray
+        ref = _ray.put(dict(zip(lab_pd['node'], lab_pd['label'])))
+
+        def relabel(t: pa.Table, ref=ref) -> pa.Table:
+            import ray as _r
+            mapping = _r.get(ref)
+            lab_np = np.array([min(mapping.get(n, n), mapping.get(l, l))
+                               for n, l in zip(t['node'].to_pylist(), t['label'].to_pylist())])
+            return pa.table({'node': t['node'], 'label': pa.array(lab_np, t['label'].type)})
+
+        labels = lab.map_batches(relabel, batch_format='pyarrow') \
+                    .groupby('node').min('label')
+        labels = labels.map_batches(lambda t: t.rename_columns(['node', 'label']),
+                                    batch_format='pyarrow')
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([id_col, 'cluster_id'])
+    return labels.map_batches(rename, batch_format='pyarrow')
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+class SimHashKernel:
+    """64-bit SimHash over word features; hash tables built per actor."""
+
+    def __init__(self, text_col: str = 'text'):
+        self.text_col = text_col
+
+    @staticmethod
+    def simhash64(text: str) -> int:
+        import hashlib
+        acc = np.zeros(64, dtype=np.int64)
+        for w in text.split():
+            h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), 'little')
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits.astype(bool), 1, -1)
+        out = 0
+        for i in range(64):
+            if acc[i] > 0:
+                out |= 1 << i
+        return out
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        hs = [self.simhash64(x or '') for x in t[self.text_col].to_pylist()]
+        return t.append_column('simhash', pa.array(np.array(hs, dtype=np.uint64), pa.uint64()))
+
+
+def simhash(ds: ray.data.Dataset, text_col: str = 'text', concurrency: int = 4) -> ray.data.Dataset:
+    return ds.map_batches(SimHashKernel(text_col), batch_format='pyarrow',
+                          concurrency=concurrency, batch_size=2048)
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard verification
+# --------------------------------------------------------------------------
+
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    """Character-n-gram Jaccard similarity of two strings."""
+    ga = {a[i:i + n] for i in range(max(1, len(a) - n + 1))}
+    gb = {b[i:i + n] for i in range(max(1, len(b) - n + 1))}
+    if not ga and not gb:
+        return 1.0
+    return len(ga & gb) / max(1, len(ga | gb))
+
+
+def verify_pairs_jaccard(pairs: ray.data.Dataset, docs: ray.data.Dataset, id_col: str = 'doc_id',
+                         text_col: str = 'text', threshold: float = 0.8) -> ray.data.Dataset:
+    """Filter candidate pairs by exact n-gram Jaccard.  The docs' texts are
+    broadcast once (dimension-style lookup) — at larger scale, swap for a
+    bucketed join on id."""
+    import ray as _ray
+    docs_pd = docs.select_columns([id_col, text_col]).to_pandas()
+    ref = _ray.put(dict(zip(docs_pd[id_col], docs_pd[text_col])))
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = _ray.get(ref)
+        keep_a, keep_b, sims = [], [], []
+        for x, y in zip(t['id_a'].to_pylist(), t['id_b'].to_pylist()):
+            s = ngram_jaccard(texts.get(x, ''), texts.get(y, ''))
+            if s >= threshold:
+                keep_a.append(x)
+                keep_b.append(y)
+                sims.append(s)
+        return pa.table({'id_a': pa.array(keep_a, pa.int64()), 'id_b': pa.array(keep_b, pa.int64()),
+                         'jaccard': pa.array(sims, pa.float64())})
+
+    return pairs.map_batches(fn, batch_format='pyarrow')

@@ -1,0 +1,125 @@
+"""Similarity search over an embedding column (list<float>).
+
+- brute_force_topk: baseline — numpy matmul per batch against a broadcast
+  query matrix (``ray.put`` once, read in every task), per-batch partial
+  top-k then a tiny driver merge.  Linear scan, perfectly parallel.
+- ivf_topk: scale path — bucket vectors by nearest of C centroids (one
+  pass), search only the query's nprobe closest buckets.  Centroids are
+  sampled deterministically; at 100 TB the bucketed layout would be written
+  partitioned by centroid id so probes prune at the read.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class _BatchTopK:
+    """Stateless partial top-k per batch against the broadcast query matrix."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        self.queries_ref = queries_ref
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self._q = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self._q is None:
+            self._q = ray.get(self.queries_ref)  # (qids, Q) read once per task/actor
+        qids, Q = self._q
+        ids = t[self.id_col].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({'query_id': pa.array([], pa.int64()), 'neighbor_id': pa.array([], pa.int64()),
+                             'score': pa.array([], pa.float64())})
+        V = _normalize(np.asarray(t[self.vec_col].to_pylist(), dtype=np.float32))
+        sims = Q @ V.T  # (nq, nb)
+        k = min(self.k, sims.shape[1])
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        out_q, out_n, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            out_q.append(np.full(k, qids[qi], dtype=np.int64))
+            out_n.append(ids[idx[qi]].astype(np.int64))
+            out_s.append(sims[qi, idx[qi]].astype(np.float64))
+        return pa.table({'query_id': pa.array(np.concatenate(out_q)),
+                         'neighbor_id': pa.array(np.concatenate(out_n)),
+                         'score': pa.array(np.concatenate(out_s))})
+
+
+def brute_force_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: np.ndarray,
+                     k: int = 10, id_col: str = 'vec_id', vec_col: str = 'embedding') -> pa.Table:
+    """Exact cosine top-k of each query over the dataset.
+
+    Returns a pyarrow Table (query_id, neighbor_id, score) with exactly k
+    neighbors per query (ties broken by ascending neighbor id)."""
+    Q = _normalize(np.asarray(queries, dtype=np.float32))
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), Q))
+    partials = ds.map_batches(_BatchTopK(ref, k, id_col, vec_col), batch_format='pyarrow')
+
+    # merge partial top-k on the driver (tiny: nq x k x num_blocks rows)
+    best: dict[int, list] = {}
+    for batch in partials.iter_batches(batch_size=65536, batch_format='pyarrow'):
+        for qid, nid, s in zip(batch['query_id'].to_pylist(), batch['neighbor_id'].to_pylist(),
+                               batch['score'].to_pylist()):
+            heap = best.setdefault(qid, [])
+            item = (s, -nid)  # ties -> smaller neighbor id wins
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+    rows_q, rows_n, rows_s = [], [], []
+    for qid in sorted(best):
+        for s, negn in sorted(best[qid], reverse=True):
+            rows_q.append(qid)
+            rows_n.append(-negn)
+            rows_s.append(s)
+    return pa.table({'query_id': pa.array(rows_q, pa.int64()),
+                     'neighbor_id': pa.array(rows_n, pa.int64()),
+                     'score': pa.array(rows_s, pa.float64())})
+
+
+def ivf_assign(ds: ray.data.Dataset, num_centroids: int = 16, seed: int = 42,
+               id_col: str = 'vec_id', vec_col: str = 'embedding') -> tuple:
+    """Assign each vector to its nearest centroid (one matmul per batch).
+
+    Centroids = deterministic sample of the dataset (seeded take).  Returns
+    (assigned_ds with 'centroid_id' column, centroids ndarray)."""
+    sample = ds.limit(num_centroids).to_pandas()
+    C = _normalize(np.asarray(sample[vec_col].tolist(), dtype=np.float32))
+    cref = ray.put(C)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        V = _normalize(np.asarray(t[vec_col].to_pylist(), dtype=np.float32))
+        cid = (V @ cents.T).argmax(axis=1).astype(np.int32)
+        return t.append_column('centroid_id', pa.array(cid))
+
+    return ds.map_batches(assign, batch_format='pyarrow'), C
+
+
+def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+             num_centroids: int = 16, nprobe: int = 4, id_col: str = 'vec_id',
+             vec_col: str = 'embedding') -> pa.Table:
+    """Approximate top-k: search only the nprobe buckets nearest each query."""
+    assigned, C = ivf_assign(ds, num_centroids=num_centroids, id_col=id_col, vec_col=vec_col)
+    Q = _normalize(np.asarray(queries, dtype=np.float32))
+    probes = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    wanted = sorted({int(c) for row in probes for c in row})
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pa.compute.is_in(t['centroid_id'], value_set=pa.array(wanted, pa.int32()))
+        return t.filter(mask)
+
+    filtered = assigned.map_batches(keep, batch_format='pyarrow')
+    return brute_force_topk(filtered, queries, query_ids, k=k, id_col=id_col, vec_col=vec_col)

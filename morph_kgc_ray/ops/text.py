@@ -1,0 +1,159 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are vectorized ``map_batches`` stages over Arrow batches:
+no per-row Python in hot paths except cryptographic hashing (C-backed).
+Designed for the ``documents`` table shape (doc_id:int64, text:string,
+lang:string, source:string, n_chars:int64) but parameterized by column.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+# --------------------------------------------------------------------------
+# token counting
+# --------------------------------------------------------------------------
+
+_BPEISH_RX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(ds: ray.data.Dataset, text_col: str = 'text', out_col: str = 'n_tokens',
+                mode: str = 'whitespace') -> ray.data.Dataset:
+    """Adds a token count column.  mode='whitespace' splits on runs of
+    whitespace; mode='bpeish' counts letter-runs / digit-runs / punctuation
+    (a cheap BPE-ish pre-tokenizer)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        if mode == 'whitespace':
+            trimmed = pc.utf8_trim_whitespace(col)
+            counts = pc.list_value_length(pc.split_pattern_regex(trimmed, r'\s+'))
+            counts = pc.if_else(pc.equal(trimmed, ''), pa.scalar(0, pa.int64()),
+                                pc.cast(counts, pa.int64()))
+        else:
+            counts = pc.cast(pc.count_substring_regex(col, _BPEISH_RX), pa.int64())
+        return t.append_column(out_col, counts)
+
+    return ds.map_batches(fn, batch_format='pyarrow')
+
+
+# --------------------------------------------------------------------------
+# quality scoring
+# --------------------------------------------------------------------------
+
+def quality_stats(ds: ray.data.Dataset, text_col: str = 'text') -> ray.data.Dataset:
+    """Adds length/punctuation/uppercase/digit counts and a simple
+    quality_score in [0,1] (heuristics typical of web-corpus filtering)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        n_chars = pc.cast(pc.utf8_length(col), pa.int64())
+        n_punct = pc.cast(pc.count_substring_regex(col, r'[^\w\s]'), pa.int64())
+        n_upper = pc.cast(pc.count_substring_regex(col, r'[A-Z]'), pa.int64())
+        n_digit = pc.cast(pc.count_substring_regex(col, r'[0-9]'), pa.int64())
+        n_space = pc.cast(pc.count_substring_regex(col, r'\s'), pa.int64())
+        nz = pc.max_element_wise(n_chars, pa.scalar(1, pa.int64()))
+        nzf = pc.cast(nz, pa.float64())
+        punct_ratio = pc.divide(pc.cast(n_punct, pa.float64()), nzf)
+        upper_ratio = pc.divide(pc.cast(n_upper, pa.float64()), nzf)
+        digit_ratio = pc.divide(pc.cast(n_digit, pa.float64()), nzf)
+        score = pc.subtract(pa.scalar(1.0), pc.min_element_wise(
+            pa.scalar(1.0),
+            pc.add(pc.add(punct_ratio, digit_ratio), pc.multiply(upper_ratio, pa.scalar(0.5)))))
+        t = t.append_column('n_chars_computed', n_chars)
+        t = t.append_column('n_punct', n_punct)
+        t = t.append_column('n_upper', n_upper)
+        t = t.append_column('n_digit', n_digit)
+        t = t.append_column('n_space', n_space)
+        return t.append_column('quality_score', score)
+
+    return ds.map_batches(fn, batch_format='pyarrow')
+
+
+# --------------------------------------------------------------------------
+# language identification (stopword n-gram heuristic)
+# --------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    'en': (' the ', ' and ', ' of ', ' to ', ' is ', ' in ', ' that '),
+    'de': (' der ', ' und ', ' die ', ' ist ', ' das ', ' nicht ', ' ein '),
+    'fr': (' le ', ' la ', ' et ', ' les ', ' des ', ' est ', ' une '),
+    'es': (' el ', ' los ', ' las ', ' es ', ' una ', ' que ', ' por '),
+}
+
+
+class LangIdKernel:
+    """Actor-pool language-ID stage: marker lists prepared once per actor
+    (__init__), vectorized substring counting per batch (__call__)."""
+
+    def __init__(self, text_col: str = 'text', out_col: str = 'lang_pred'):
+        self.text_col = text_col
+        self.out_col = out_col
+        self.langs = list(_LANG_MARKERS)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(t[self.text_col])
+        padded = pc.binary_join_element_wise(' ', lowered, ' ', '')
+        scores = np.zeros((t.num_rows, len(self.langs)), dtype=np.int64)
+        for j, lang in enumerate(self.langs):
+            for marker in _LANG_MARKERS[lang]:
+                scores[:, j] += pc.count_substring(padded, marker).to_numpy(zero_copy_only=False)
+        best = np.asarray(self.langs, dtype=object)[scores.argmax(axis=1)]
+        best[scores.max(axis=1) == 0] = 'und'
+        return t.append_column(self.out_col, pa.array(best, pa.string()))
+
+
+def lang_id(ds: ray.data.Dataset, text_col: str = 'text', concurrency: int = 4) -> ray.data.Dataset:
+    return ds.map_batches(LangIdKernel(text_col), batch_format='pyarrow',
+                          concurrency=concurrency, batch_size=8192)
+
+
+# --------------------------------------------------------------------------
+# document fingerprinting
+# --------------------------------------------------------------------------
+
+def fingerprint(ds: ray.data.Dataset, text_col: str = 'text', out_col: str = 'fingerprint') -> ray.data.Dataset:
+    """SHA-256 hex fingerprint per document (C-backed hashlib per row)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        vals = t[text_col].to_pylist()
+        fps = [hashlib.sha256(v.encode('utf-8')).hexdigest() if v is not None else None for v in vals]
+        return t.append_column(out_col, pa.array(fps, pa.string()))
+
+    return ds.map_batches(fn, batch_format='pyarrow')
+
+
+def rolling_hash_fingerprint(ds: ray.data.Dataset, text_col: str = 'text',
+                             window: int = 64, out_col: str = 'winnow_fp') -> ray.data.Dataset:
+    """Winnowing-style fingerprint: min of rolling polynomial hashes over
+    byte windows — robust to local edits; vectorized with numpy."""
+    B = 1000003
+    MASK = (1 << 64) - 1
+    Bw = pow(B, window - 1, 1 << 64)
+
+    def one(text: str) -> int:
+        data = text.encode('utf-8')
+        if len(data) < window:
+            h = 0
+            for b in data:
+                h = (h * B + b) & MASK
+            return h
+        h = 0
+        for b in data[:window]:
+            h = (h * B + b) & MASK
+        best = h
+        for i in range(1, len(data) - window + 1):
+            h = ((h - data[i - 1] * Bw) * B + data[i + window - 1]) & MASK
+            best = min(best, h)
+        return best
+
+    def fn(t: pa.Table) -> pa.Table:
+        fps = [one(v) if v is not None else None for v in t[text_col].to_pylist()]
+        return t.append_column(out_col, pa.array(fps, pa.uint64()))
+
+    return ds.map_batches(fn, batch_format='pyarrow')

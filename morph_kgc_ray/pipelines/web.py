@@ -1,0 +1,184 @@
+"""Flagship pipeline: RML knowledge-graph construction over Common-Crawl
+style web pages at cluster scale (the BASELINE.json north star).
+
+Single-pass design — the page corpus is scanned ONCE:
+
+  read_parquet(pages, columns=[url, warc_ts, html, lang])   [distributed scan]
+    -> TripleEmitKernel (actor pool):                       [one actor pool]
+         html -> text (regexes compiled once per actor; html column dropped
+         inside the stage so MB payloads never leave it),
+         vectorized RML term materialization (subject template over url with
+         percent-encoding, xsd:dateTime natural mapping, language-tagged
+         literals — morph-kgc semantics via the engine's TermPlan kernels),
+         gazetteer mention detection + IRI canonicalization (alias dict via
+         a ray.put broadcast, read once per actor)
+       => rows (partition, subject, predicate, object)
+    -> hash repartition keyed on all four columns            [ONE shuffle]
+    -> block-local distinct                                  [exact dedup]
+    -> partitioned N-Quads shards + manifests                [resumable sink]
+
+``partition`` is the mapping-partition label (constant predicate per rule —
+disjoint by the partitioner's theorem), so dedup and output are
+partition-parallel.  Hot predicates do not skew the exchange because the
+shuffle key includes the subject/object.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..constants import RML_IRI, RML_LITERAL, RML_TEMPLATE, XSD_DATETIME
+from ..engine.dedup import distinct, ensure_hash_shuffle
+from ..engine.kernels import compile_term_plan, ljoin, materialize_term, stringify_column, table_distinct
+from .pages import ENTITY_IRI_PREFIX, ENTITY_NAMES, extract_text
+
+SCHEMA_URL = 'http://schema.org/url'
+SCHEMA_DATE = 'http://schema.org/dateModified'
+SCHEMA_LANG = 'http://schema.org/inLanguage'
+SCHEMA_TEXT = 'http://schema.org/text'
+SCHEMA_MENTIONS = 'http://schema.org/mentions'
+PAGE_TEMPLATE = 'http://crawl.example.org/page/{url}'
+
+
+def default_gazetteer() -> dict[str, str]:
+    return {name: f'{ENTITY_IRI_PREFIX}{name.lower()}' for name in ENTITY_NAMES}
+
+
+class TripleEmitKernel:
+    """One-pass page->triples kernel (stateful actor).
+
+    __init__ (once per actor): compile extraction regexes, term plans and
+    the gazetteer alternation regex; fetch the broadcast alias->IRI dict.
+    __call__ (per batch): extract text, materialize all constant-predicate
+    rules plus mention triples, emit (partition, subject, predicate, object).
+    """
+
+    def __init__(self, gazetteer_ref=None, emit_text_literal: bool = True):
+        gaz = ray.get(gazetteer_ref) if gazetteer_ref is not None else default_gazetteer()
+        forms = sorted(gaz, key=len, reverse=True)
+        self.mention_rx = re.compile(r'\b(' + '|'.join(re.escape(f) for f in forms) + r')\b')
+        self.canon = gaz
+        self.emit_text_literal = emit_text_literal
+        self.subject_plan = compile_term_plan(RML_TEMPLATE, PAGE_TEMPLATE, 'subject', termtype=RML_IRI)
+        self.url_obj = compile_term_plan(RML_TEMPLATE, '{url}', 'object', termtype=RML_IRI)
+        self.date_obj = compile_term_plan(RML_TEMPLATE, '{warc_ts}', 'object', termtype=RML_LITERAL,
+                                          datatype=XSD_DATETIME)
+        self.lang_obj = compile_term_plan(RML_TEMPLATE, '{lang}', 'object', termtype=RML_LITERAL)
+        self.text_obj = compile_term_plan(RML_TEMPLATE, '{text}', 'object', termtype=RML_LITERAL)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        # --- extraction (html dropped immediately) ---
+        if 'html' in t.column_names:
+            texts = [extract_text(h or b'') for h in t['html'].to_pylist()]
+            t = t.drop_columns(['html'])
+            text_arr = pa.array(texts, pa.string())
+            if 'text' in t.column_names:
+                t = t.set_column(t.column_names.index('text'), 'text', text_arr)
+            else:
+                t = t.append_column('text', text_arr)
+        t = t.set_column(t.column_names.index('warc_ts'), 'warc_ts', stringify_column(t['warc_ts']))
+
+        n = t.num_rows
+        subj = materialize_term(t, self.subject_plan)
+        if isinstance(subj, pa.ChunkedArray):
+            subj = subj.combine_chunks()
+
+        parts, subjects, predicates, objects = [], [], [], []
+
+        def emit(partition: str, pred_iri: str, obj_arr, subj_arr=subj, count=n):
+            parts.append(pa.array([partition] * count, pa.string()))
+            subjects.append(subj_arr if not isinstance(subj_arr, pa.ChunkedArray) else subj_arr.combine_chunks())
+            predicates.append(pa.array([f'<{pred_iri}>'] * count, pa.large_string()))
+            objects.append(obj_arr if not isinstance(obj_arr, pa.ChunkedArray) else obj_arr.combine_chunks())
+
+        emit('p_url', SCHEMA_URL, materialize_term(t, self.url_obj))
+        date_lit = ljoin(materialize_term(t, self.date_obj), f'^^<{XSD_DATETIME}>')
+        emit('p_date', SCHEMA_DATE, date_lit)
+        emit('p_lang', SCHEMA_LANG, materialize_term(t, self.lang_obj))
+        if self.emit_text_literal:
+            text_lit = ljoin(materialize_term(t, self.text_obj), '@',
+                             t['lang'].combine_chunks().cast(pa.large_string()))
+            emit('p_text', SCHEMA_TEXT, text_lit)
+
+        # --- mention detection + canonicalization ---
+        m_subj, m_obj = [], []
+        subj_py = subj.to_pylist()
+        for i, text in enumerate(t['text'].to_pylist()):
+            seen = set()
+            for m in self.mention_rx.finditer(text or ''):
+                iri = self.canon[m.group(1)]
+                if iri not in seen:
+                    seen.add(iri)
+                    m_subj.append(subj_py[i])
+                    m_obj.append(f'<{iri}>')
+        if m_subj:
+            parts.append(pa.array(['p_mentions'] * len(m_subj), pa.string()))
+            subjects.append(pa.array(m_subj, pa.large_string()))
+            predicates.append(pa.array([f'<{SCHEMA_MENTIONS}>'] * len(m_subj), pa.large_string()))
+            objects.append(pa.array(m_obj, pa.large_string()))
+
+        out = pa.table({'partition': pa.concat_arrays(parts),
+                        'subject': pa.concat_arrays(subjects),
+                        'predicate': pa.concat_arrays(predicates),
+                        'object': pa.concat_arrays(objects)})
+        # block-local distinct before the exchange cuts shuffle volume
+        return table_distinct(out)
+
+
+def web_kg_triples(pages: ray.data.Dataset, gazetteer: dict[str, str] | None = None,
+                   concurrency: 'int | tuple' = 4, batch_size: int = 256,
+                   dedup_partitions: int = 16, emit_text_literal: bool = True) -> ray.data.Dataset:
+    """Deduped triples Dataset (partition, subject, predicate, object)."""
+    gaz_ref = ray.put(gazetteer or default_gazetteer())
+    emitted = pages.map_batches(
+        TripleEmitKernel, fn_constructor_args=(gaz_ref, emit_text_literal),
+        batch_format='pyarrow', concurrency=concurrency, batch_size=batch_size)
+    return distinct(emitted, ['partition', 'subject', 'predicate', 'object'],
+                    num_partitions=dedup_partitions)
+
+
+def write_web_kg(pages: ray.data.Dataset, out_dir: str, resume: bool = True,
+                 **kwargs) -> dict:
+    """Materialize to the resumable partitioned layout: rows carry their
+    mapping-partition label, so the sink writes one directory per partition
+    with a manifest (failed partitions re-execute idempotently)."""
+    import json
+    import os
+    import shutil
+
+    triples = web_kg_triples(pages, **kwargs)
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_path = os.path.join(out_dir, '_MANIFEST.json')
+    if resume and os.path.exists(manifest_path):
+        with open(manifest_path, encoding='utf-8') as f:
+            return json.load(f)
+
+    tmp = out_dir + '.tmp'
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    counts: dict[str, int] = {}
+    shard = 0
+    for batch in triples.iter_batches(batch_size=1 << 20, batch_format='pyarrow'):
+        by_part: dict[str, list[str]] = {}
+        tr = ljoin(batch['subject'].combine_chunks(), batch['predicate'].combine_chunks(),
+                   batch['object'].combine_chunks(), sep=' ')
+        for part, line in zip(batch['partition'].to_pylist(), tr.to_pylist()):
+            by_part.setdefault(part, []).append(line)
+        for part, lines in by_part.items():
+            pdir = os.path.join(tmp, f'part={part}')
+            os.makedirs(pdir, exist_ok=True)
+            with open(os.path.join(pdir, f'shard_{shard:05d}.nt'), 'w', encoding='utf-8') as f:
+                for line in lines:
+                    f.write(f'{line} .\n')
+            counts[part] = counts.get(part, 0) + len(lines)
+        shard += 1
+    report = {'partitions': counts, 'total': sum(counts.values())}
+    with open(os.path.join(tmp, '_MANIFEST.json'), 'w', encoding='utf-8') as f:
+        json.dump(report, f)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
+    return report
