@@ -1,0 +1,121 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline flagship pipeline (web KG construction over a
+deterministic synthetic Common-Crawl-style pages table sized by sf) plus
+representative engine/data-op pipelines over $GRAFT_SF_DIR, then prints ONE
+JSON line:
+
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "headline_rows": R, "headline_triples": T, "triples_per_sec": ...}
+
+``python bench.py --scaling`` runs the headline pipeline twice in fresh
+processes (RAY_GRAFT_CPUS=8 and 32) on the SAME input and reports both
+throughputs plus scaling efficiency (the sandbox proxy for the N vs 4N
+cluster-size criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get('GRAFT_SF_DIR', '/root/testdata/sf0.1')
+NUM_CPUS = int(os.environ.get('RAY_GRAFT_CPUS', '32'))
+
+# headline corpus size by sf (pages rows; ~21 triples/page incl. mentions)
+_SF = SF_DIR.rstrip('/').rsplit('sf', 1)[-1]
+HEADLINE_ROWS = {'0.001': 2000, '0.01': 10000, '0.1': 60000}.get(_SF, 20000)
+
+BENCH_QUERIES = [
+    'rml_customer_triples', 'rml_join_order_customer', 'rml_lineitem_datatype',
+    'rml_events_nquads', 'dedup_exact_documents', 'lang_count_documents',
+    'events_hourly_user_agg', 'ann_topk_embeddings', 'minhash_dedup_documents',
+    'lang_id_documents',
+]
+
+
+def run_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo['value'], r_hi['value']
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(json.dumps({
+        'metric': 'headline wall-clock at two parallelism levels (cluster-size proxy)',
+        'sec_8': t_lo, 'sec_32': t_hi,
+        'triples_per_sec_8': r_lo.get('triples_per_sec'),
+        'triples_per_sec_32': r_hi.get('triples_per_sec'),
+        'scaling_efficiency': round(eff, 3),
+        'headline_rows': r_lo.get('headline_rows'),
+    }))
+
+
+def main() -> None:
+    import ray
+    ray.init(address='local', num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level='ERROR')
+    import logging
+
+    import morph_kgc_ray  # noqa: F401 (DataContext setup)
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger('ray.data').setLevel(logging.ERROR)
+
+    import ray.data as rd
+
+    from morph_kgc_ray.pipelines.benchmarks import QUERIES
+    from morph_kgc_ray.pipelines.pages import pages_parquet_dir
+    from morph_kgc_ray.pipelines.web import web_kg_triples
+
+    # ---- headline: flagship web KG construction ----
+    pages_dir = pages_parquet_dir(HEADLINE_ROWS, num_files=max(8, NUM_CPUS))
+    # warm the OS page cache so we measure compute + shuffle, not cold disk
+    rd.read_parquet(pages_dir, columns=['url']).count()
+
+    t0 = time.time()
+    pages = rd.read_parquet(pages_dir, columns=['url', 'warc_ts', 'html', 'lang'])
+    triples = web_kg_triples(pages, concurrency=max(2, NUM_CPUS // 4),
+                             dedup_partitions=max(8, NUM_CPUS // 2))
+    n_triples = triples.count()
+    headline_sec = time.time() - t0
+
+    # ---- per-query timings over the sf dir ----
+    per_query = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        res = fn(SF_DIR)
+        if hasattr(res, 'count'):
+            res.count()  # consume the lazy pipeline
+        per_query[name] = round(time.time() - t0, 3)
+
+    print(json.dumps({
+        'metric': 'web KG construction end-to-end (read->extract->link->materialize->dedup)',
+        'value': round(headline_sec, 3),
+        'unit': 'sec',
+        'queries': per_query,
+        'sf': _SF,
+        'num_cpus': NUM_CPUS,
+        'headline_rows': HEADLINE_ROWS,
+        'headline_triples': n_triples,
+        'triples_per_sec': round(n_triples / headline_sec, 1),
+    }))
+    ray.shutdown()
+
+
+if __name__ == '__main__':
+    if '--scaling' in sys.argv:
+        run_scaling()
+    else:
+        main()

@@ -41,14 +41,17 @@ def ensure_hash_shuffle() -> bool:
         ctx = ray.data.DataContext.get_current()
         if ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
             ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-        # cap shuffle-aggregator actors so they cannot starve the map/actor
-        # stages on small nodes (each aggregator holds a CPU slot); scale-out
-        # clusters raise this with the CPU count automatically
+        # cap shuffle-aggregator actors and their CPU claims so they never
+        # starve (or deadlock) the map/actor stages: Ray sizes aggregator CPU
+        # demand as num_partitions x per-partition override, and its defaults
+        # (200 partitions, 1 CPU per aggregator) exceed a small node.  These
+        # settings keep total aggregator demand well under the smallest bench
+        # cluster (8 CPUs) while still fanning out on larger ones.
         ncpu = os.cpu_count() or 8
-        ctx.max_hash_shuffle_aggregators = max(2, min(16, ncpu // 2))
-        # fractional CPUs per partition so aggregators pack densely
-        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
-        ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.05
+        ctx.max_hash_shuffle_aggregators = max(2, min(8, ncpu // 4))
+        ctx.default_hash_shuffle_parallelism = 32
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
+        ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.01
         return True
     except Exception:
         return False
@@ -59,7 +62,7 @@ def distinct(ds: ray.data.Dataset, cols: list[str], num_partitions: int | None =
     cols = list(cols)
     ds = ds.map_batches(_local_distinct(cols), batch_format='pyarrow')
     if ensure_hash_shuffle():
-        ds = ds.repartition(num_blocks=num_partitions or 32, keys=cols, sort=False)
+        ds = ds.repartition(num_blocks=num_partitions or 16, keys=cols, sort=False)
         return ds.map_batches(_local_distinct(cols), batch_format='pyarrow')
     # fallback: sort-based grouped count, then drop the count column
     agg = ds.groupby(cols, num_partitions=num_partitions).count()

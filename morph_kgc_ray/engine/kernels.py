@@ -333,19 +333,20 @@ def stringify_column(col: 'pa.ChunkedArray | pa.Array') -> pa.Array:
         # python str(3.0) == '3.0'; Arrow would give '3' — go through numpy repr
         np_vals = col.to_numpy(zero_copy_only=False)
         out = np_vals.astype('U32')  # numpy unicode cast == python str() for float64
-        res = pa.array(out, type=pa.large_string())
+        res = pa.array(out).cast(pa.large_string())
         if col.null_count:
             res = pc.if_else(pc.is_null(col), pa.scalar(None, pa.large_string()), res)
         return res
     if pa.types.is_boolean(t):
         return pc.if_else(col, pa.scalar('True', pa.large_string()), pa.scalar('False', pa.large_string()))
     if pa.types.is_timestamp(t):
-        base = pc.strftime(col, format='%Y-%m-%d %H:%M:%S')
-        us = pc.microsecond(col)
-        ms_part = pc.binary_join_element_wise(
-            base, pc.utf8_lpad(pc.cast(us, pa.string()), 6, '0'), '.')
-        combined = pc.if_else(pc.equal(us, 0), base, ms_part)
-        return combined.cast(pa.large_string())
+        # Arrow strftime %S includes fractional seconds for sub-second units;
+        # trim trailing fractional zeros (SQL text form, also what DuckDB
+        # prints) so oracle comparisons are byte-stable
+        full = pc.strftime(col, format='%Y-%m-%d %H:%M:%S')
+        trimmed = pc.replace_substring_regex(full, r'(\.\d*?)0+$', r'\1')
+        trimmed = pc.replace_substring_regex(trimmed, r'\.$', '')
+        return trimmed.cast(pa.large_string())
     if pa.types.is_date(t):
         return pc.strftime(col.cast(pa.timestamp('us')), format='%Y-%m-%d').cast(pa.large_string())
     if pa.types.is_integer(t) or pa.types.is_decimal(t):

@@ -261,7 +261,7 @@ def merge_datasets(child_ds, parent_ds, join_conditions: str, config: Config):
         return child_ds.map_batches(_BroadcastJoin(ref, child_keys, parent_keys),
                                     batch_format='pandas')
     # large parent: hash-partitioned distributed join keyed on the join refs
-    num_partitions = max(32, config.get_dedup_partitions() or 32)
+    num_partitions = max(16, config.get_dedup_partitions() or 16)
     return child_ds.join(parent_mat, 'inner', num_partitions,
                          on=tuple(child_keys), right_on=tuple(parent_keys))
 
@@ -270,8 +270,12 @@ def merge_datasets(child_ds, parent_ds, join_conditions: str, config: Config):
 # per-rule pipeline (dispatch mirroring _materialize_rml_rule)
 # --------------------------------------------------------------------------
 
-def _finalize_triples(ds, rule, fnml_df, config: Config, nest_level: int):
-    """Concatenate the `triple` column (and graph for N-Quads at top level)."""
+def _finalize_triples(ds, rule, fnml_df, config: Config, nest_level: int, as_columns: bool = False):
+    """Concatenate the `triple` column (and graph for N-Quads at top level).
+
+    ``as_columns=True`` keeps (subject, predicate, object[, graph]) as
+    separate columns instead (structured output for downstream analytics /
+    the DuckDB oracle harness)."""
     nquads = nest_level == 0 and config.get_output_format() == NQUADS
     graph_stage = None
     if nquads:
@@ -288,6 +292,20 @@ def _finalize_triples(ds, rule, fnml_df, config: Config, nest_level: int):
         s = table['subject'].combine_chunks().cast(pa.large_string())
         p = table['predicate'].combine_chunks().cast(pa.large_string())
         o = table['object'].combine_chunks().cast(pa.large_string())
+        if as_columns:
+            g = None
+            if nquads:
+                if graph_stage is not None:
+                    table = graph_stage(table)
+                    g = table['graph'].combine_chunks().cast(pa.large_string())
+                else:
+                    g = pa.array([''] * table.num_rows, pa.large_string())
+            cols = {'subject': s, 'predicate': p, 'object': o}
+            if g is not None:
+                cols['graph'] = g
+            out = pa.table(cols)
+            mask = pc.and_(pc.and_(pc.is_valid(s), pc.is_valid(p)), pc.is_valid(o))
+            return out.filter(mask)
         triple = ljoin(s, p, o, sep=' ')
         if nquads:
             if graph_stage is not None:
@@ -305,7 +323,8 @@ def _finalize_triples(ds, rule, fnml_df, config: Config, nest_level: int):
 
 
 def materialize_rule(rule, rml_df, fnml_df, config: Config, data=None,
-                     parent_join_references=(), nest_level=0, python_source=None):
+                     parent_join_references=(), nest_level=0, python_source=None,
+                     as_columns=False):
     """Build the Dataset pipeline for one normalized rule.
 
     Returns a Dataset containing the source columns plus a serialized
@@ -390,7 +409,8 @@ def materialize_rule(rule, rml_df, fnml_df, config: Config, data=None,
             data = read_source(rule, sorted(references), config, python_source)
         ds = data.map_batches(make_term_stage(rule, fnml_df, config), batch_format='pyarrow')
 
-    return _finalize_triples(ds, rule, fnml_df, config, nest_level)
+    return _finalize_triples(ds, rule, fnml_df, config, nest_level,
+                             as_columns=as_columns and nest_level == 0)
 
 
 def _quote_stage(src_col: str, dst_col: str, drop: bool = False):
@@ -415,32 +435,40 @@ def _copy_stage(src_col: str, dst_col: str):
 # top-level entry points
 # --------------------------------------------------------------------------
 
-def _partition_datasets(config: Config, python_source=None):
+def _partition_datasets(config: Config, python_source=None, as_columns=False):
     """One deduped triples Dataset per mapping partition."""
     rml_df, fnml_df = retrieve_mappings(config)
     asserted = rml_df[rml_df['triples_map_type'] == RML_TRIPLES_MAP_CLASS]
+
+    out_cols = ['triple']
+    if as_columns:
+        out_cols = ['subject', 'predicate', 'object']
+        if config.get_output_format() == NQUADS:
+            out_cols.append('graph')
 
     partitions = {}
     group_cols = 'mapping_partition'
     for partition_id, group in asserted.groupby(group_cols, dropna=False, sort=True):
         rule_datasets = []
         for _, rule in group.iterrows():
-            ds = materialize_rule(rule, rml_df, fnml_df, config, python_source=python_source)
-            rule_datasets.append(ds.select_columns(['triple']))
+            ds = materialize_rule(rule, rml_df, fnml_df, config, python_source=python_source,
+                                  as_columns=as_columns)
+            rule_datasets.append(ds.select_columns(out_cols))
         ds = rule_datasets[0]
         if len(rule_datasets) > 1:
             ds = ds.union(*rule_datasets[1:])
         # the partition-disjointness theorem keeps this dedup partition-local
-        ds = distinct(ds, ['triple'], num_partitions=config.get_dedup_partitions() or None)
+        ds = distinct(ds, out_cols, num_partitions=config.get_dedup_partitions() or None)
         partitions[str(partition_id)] = ds
     return partitions
 
 
-def materialize_dataset(config, python_source=None) -> ray.data.Dataset:
-    """Full KG as one Dataset with columns (triple, mapping_partition)."""
+def materialize_dataset(config, python_source=None, as_columns=False) -> ray.data.Dataset:
+    """Full KG as one Dataset: columns (triple, mapping_partition), or with
+    as_columns=True (subject, predicate, object[, graph], mapping_partition)."""
     if not isinstance(config, Config):
         config = Config(config)
-    parts = _partition_datasets(config, python_source)
+    parts = _partition_datasets(config, python_source, as_columns=as_columns)
 
     tagged = []
     for pid, ds in parts.items():

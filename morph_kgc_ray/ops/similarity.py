@@ -43,7 +43,7 @@ class _BatchTopK:
         if len(ids) == 0:
             return pa.table({'query_id': pa.array([], pa.int64()), 'neighbor_id': pa.array([], pa.int64()),
                              'score': pa.array([], pa.float64())})
-        V = _normalize(np.asarray(t[self.vec_col].to_pylist(), dtype=np.float32))
+        V = _normalize(np.asarray(t[self.vec_col].to_pylist(), dtype=np.float64))
         sims = Q @ V.T  # (nq, nb)
         k = min(self.k, sims.shape[1])
         idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
@@ -63,7 +63,7 @@ def brute_force_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: np.nd
 
     Returns a pyarrow Table (query_id, neighbor_id, score) with exactly k
     neighbors per query (ties broken by ascending neighbor id)."""
-    Q = _normalize(np.asarray(queries, dtype=np.float32))
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
     ref = ray.put((np.asarray(query_ids, dtype=np.int64), Q))
     partials = ds.map_batches(_BatchTopK(ref, k, id_col, vec_col), batch_format='pyarrow')
 

@@ -1,0 +1,353 @@
+"""Benchmark / correctness-gate query registry over the driver test tables
+(/root/testdata/sf*/: region nation customer supplier part orders lineitem
+events documents embeddings).
+
+Every entry pairs a Ray Data pipeline (the engine's own operators) with an
+equivalent ANSI-SQL oracle runnable by DuckDB on the same parquet files.
+Column names match between the two on purpose — the harness compares
+row-count + schema + order-insensitive value hash.
+
+Queries whose semantics SQL cannot express (MinHash-LSH, SimHash, language
+ID, the full web-KG pipeline, multimodal stubs) have no oracle entry and get
+the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..config import Config
+from ..engine.materializer import materialize_dataset
+from ..ops import dedup as dedup_ops
+from ..ops import similarity as sim_ops
+from ..ops import text as text_ops
+
+EX = 'http://example.com'
+RDF_TYPE_IRI = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+XSD_INT = 'http://www.w3.org/2001/XMLSchema#integer'
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return f'{sf_dir}/{table}.parquet'
+
+
+# --------------------------------------------------------------------------
+# RML engine pipelines (exercise the real mapping front-end + materializer)
+# --------------------------------------------------------------------------
+
+def _engine_columns(sf_dir: str, mapping: str, output_format: str = 'N-TRIPLES'):
+    cfg = Config({'DS1': {}, 'output_format': output_format, 'source_base_dir': sf_dir})
+    cfg.set_mappings_document('DS1', mapping)
+    return materialize_dataset(cfg, as_columns=True).drop_columns(['mapping_partition'])
+
+
+def rml_customer_triples(sf_dir: str):
+    """Template subject + class POM + reference object (RMLTC0001-class
+    semantics) over the customer table."""
+    mapping = f'''
+    @prefix rml: <http://w3id.org/rml/> .
+    <#TM_Customer> a rml:TriplesMap ;
+      rml:logicalSource [ rml:source "{_p(sf_dir, 'customer')}" ] ;
+      rml:subjectMap [ rml:template "{EX}/customer/{{c_custkey}}" ;
+                       rml:class <{EX}/ontology/Customer> ] ;
+      rml:predicateObjectMap [
+        rml:predicate <http://xmlns.com/foaf/0.1/name> ;
+        rml:objectMap [ rml:reference "c_name" ] ] .
+    '''
+    return _engine_columns(sf_dir, mapping)
+
+
+def rml_join_order_customer(sf_dir: str):
+    """Referencing object map: orders -> customer on o_custkey=c_custkey."""
+    mapping = f'''
+    @prefix rml: <http://w3id.org/rml/> .
+    <#TM_Order> a rml:TriplesMap ;
+      rml:logicalSource [ rml:source "{_p(sf_dir, 'orders')}" ] ;
+      rml:subjectMap [ rml:template "{EX}/order/{{o_orderkey}}" ] ;
+      rml:predicateObjectMap [
+        rml:predicate <{EX}/ontology/placedBy> ;
+        rml:objectMap [ rml:parentTriplesMap <#TM_Cust> ;
+                        rml:joinCondition [ rml:child "o_custkey" ; rml:parent "c_custkey" ] ] ] .
+    <#TM_Cust> rml:logicalSource [ rml:source "{_p(sf_dir, 'customer')}" ] ;
+      rml:subjectMap [ rml:template "{EX}/customer/{{c_custkey}}" ] .
+    '''
+    return _engine_columns(sf_dir, mapping)
+
+
+def rml_lineitem_datatype(sf_dir: str):
+    """Datatyped literal with xsd:integer natural mapping (double -> int)."""
+    mapping = f'''
+    @prefix rml: <http://w3id.org/rml/> .
+    @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+    <#TM_Line> a rml:TriplesMap ;
+      rml:logicalSource [ rml:source "{_p(sf_dir, 'lineitem')}" ] ;
+      rml:subjectMap [ rml:template "{EX}/order/{{l_orderkey}}/line/{{l_linenumber}}" ] ;
+      rml:predicateObjectMap [
+        rml:predicate <{EX}/ontology/quantity> ;
+        rml:objectMap [ rml:reference "l_quantity" ; rml:datatype xsd:integer ] ] .
+    '''
+    return _engine_columns(sf_dir, mapping)
+
+
+def rml_events_nquads(sf_dir: str):
+    """Graph maps (N-Quads) + xsd:dateTime natural mapping on the object."""
+    mapping = f'''
+    @prefix rml: <http://w3id.org/rml/> .
+    @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+    <#TM_Event> a rml:TriplesMap ;
+      rml:logicalSource [ rml:source "{_p(sf_dir, 'events')}" ] ;
+      rml:subjectMap [ rml:template "{EX}/event/{{event_id}}" ] ;
+      rml:predicateObjectMap [
+        rml:predicate <{EX}/ontology/ts> ;
+        rml:objectMap [ rml:reference "ts" ; rml:datatype xsd:dateTime ] ;
+        rml:graphMap [ rml:template "{EX}/graph/{{event_type}}" ] ] .
+    '''
+    return _engine_columns(sf_dir, mapping, output_format='N-QUADS')
+
+
+def rml_documents_lang(sf_dir: str):
+    """Language map: text literal tagged with the row's lang column."""
+    mapping = f'''
+    @prefix rml: <http://w3id.org/rml/> .
+    <#TM_Doc> a rml:TriplesMap ;
+      rml:logicalSource [ rml:source "{_p(sf_dir, 'documents')}" ] ;
+      rml:subjectMap [ rml:template "{EX}/doc/{{doc_id}}" ] ;
+      rml:predicateObjectMap [
+        rml:predicate <http://schema.org/text> ;
+        rml:objectMap [ rml:reference "text" ; rml:languageMap [ rml:reference "lang" ] ] ] .
+    '''
+    return _engine_columns(sf_dir, mapping)
+
+
+# --------------------------------------------------------------------------
+# data ops over the test tables
+# --------------------------------------------------------------------------
+
+def dedup_exact_documents(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
+    return dedup_ops.exact_dedup(ds, ['text'], 'doc_id')
+
+
+def token_count_documents(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
+    return text_ops.token_count(ds).select_columns(['doc_id', 'n_tokens'])
+
+
+def quality_stats_documents(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
+    out = text_ops.quality_stats(ds)
+    return out.select_columns(['doc_id', 'n_chars_computed', 'n_upper', 'n_digit'])
+
+
+def lang_count_documents(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+    ds = rd.read_parquet(_p(sf_dir, 'documents'), columns=['lang', 'n_chars'])
+    out = ds.groupby('lang').aggregate(Count(alias_name='n_docs'),
+                                       Sum('n_chars', alias_name='sum_chars'))
+    return out
+
+
+def events_hourly_user_agg(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+    ds = rd.read_parquet(_p(sf_dir, 'events'), columns=['user_id', 'ts', 'value'])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        us = pc.cast(t['ts'], pa.int64())
+        hour = pc.divide(us, pa.scalar(3_600_000_000, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(t['value'], pa.scalar(100.0))), pa.int64())
+        return pa.table({'user_id': t['user_id'], 'hour_bucket': hour, 'value_cents': cents})
+
+    ds = ds.map_batches(bucketize, batch_format='pyarrow')
+    return ds.groupby(['user_id', 'hour_bucket']).aggregate(
+        Count(alias_name='n_events'), Sum('value_cents', alias_name='sum_value_cents'))
+
+
+def top_customers(sf_dir: str):
+    from ray.data.aggregate import Count
+    ds = rd.read_parquet(_p(sf_dir, 'orders'), columns=['o_custkey'])
+    agg = ds.groupby('o_custkey').aggregate(Count(alias_name='n_orders'))
+    return agg.sort(['n_orders', 'o_custkey'], descending=[True, False]).limit(10)
+
+
+def fingerprint_documents(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
+    return text_ops.fingerprint(ds).select_columns(['doc_id', 'fingerprint'])
+
+
+def ann_topk_embeddings(sf_dir: str):
+    """Exact cosine top-10 of the first 5 vectors over all embeddings."""
+    ds = rd.read_parquet(_p(sf_dir, 'embeddings'), columns=['vec_id', 'embedding'])
+    import pyarrow.parquet as pq
+    head = pq.read_table(_p(sf_dir, 'embeddings'), columns=['vec_id', 'embedding']) \
+        .sort_by('vec_id').slice(0, 5)
+    qids = np.asarray(head['vec_id'].to_pylist(), dtype=np.int64)
+    Q = np.asarray(head['embedding'].to_pylist(), dtype=np.float32)
+    out = sim_ops.brute_force_topk(ds, Q, qids, k=10)
+    return out.select(['query_id', 'neighbor_id'])
+
+
+# ---- non-SQL-expressible ops (rows-only checks) ----
+
+def minhash_dedup_documents(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
+    return dedup_ops.minhash_dedup_clusters(ds, rounds=2)
+
+
+def simhash_documents(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
+    return dedup_ops.simhash(ds).select_columns(['doc_id', 'simhash'])
+
+
+def lang_id_documents(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
+    return text_ops.lang_id(ds, concurrency=2).select_columns(['doc_id', 'lang_pred'])
+
+
+def ivf_ann_embeddings(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, 'embeddings'), columns=['vec_id', 'embedding'])
+    import pyarrow.parquet as pq
+    head = pq.read_table(_p(sf_dir, 'embeddings'), columns=['vec_id', 'embedding']).sort_by('vec_id').slice(0, 5)
+    qids = np.asarray(head['vec_id'].to_pylist(), dtype=np.int64)
+    Q = np.asarray(head['embedding'].to_pylist(), dtype=np.float32)
+    return sim_ops.ivf_topk(ds, Q, qids, k=10, num_centroids=8, nprobe=3)
+
+
+def multimodal_image_features(sf_dir: str):
+    """Binary-column plumbing: treat doc text bytes as opaque payloads and
+    run the (stubbed) decode actor pool over them."""
+    from ..ops.multimodal import decode_images
+    ds = rd.read_parquet(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
+
+    def to_binary(t: pa.Table) -> pa.Table:
+        blobs = [x.encode('utf-8') for x in t['text'].to_pylist()]
+        return pa.table({'doc_id': t['doc_id'], 'image': pa.array(blobs, pa.large_binary())})
+
+    ds = ds.map_batches(to_binary, batch_format='pyarrow')
+    return decode_images(ds, concurrency=2).select_columns(['doc_id', 'width', 'height'])
+
+
+def web_kg_construction(sf_dir: str):
+    """Flagship pipeline over a deterministic synthetic page corpus sized by
+    the sf of the input dir (rows-only check; the bnode-free triple set is
+    also covered by unit tests against the per-row extraction invariant)."""
+    from .pages import pages_parquet_dir
+    from .web import web_kg_triples
+    sf = sf_dir.rstrip('/').rsplit('sf', 1)[-1]
+    rows = {'0.001': 1000, '0.01': 5000, '0.1': 20000}.get(sf, 2000)
+    pages = rd.read_parquet(pages_parquet_dir(rows), columns=['url', 'warc_ts', 'html', 'lang'])
+    return web_kg_triples(pages, concurrency=4)
+
+
+QUERIES = {
+    'rml_customer_triples': rml_customer_triples,
+    'rml_join_order_customer': rml_join_order_customer,
+    'rml_lineitem_datatype': rml_lineitem_datatype,
+    'rml_events_nquads': rml_events_nquads,
+    'rml_documents_lang': rml_documents_lang,
+    'dedup_exact_documents': dedup_exact_documents,
+    'token_count_documents': token_count_documents,
+    'quality_stats_documents': quality_stats_documents,
+    'lang_count_documents': lang_count_documents,
+    'events_hourly_user_agg': events_hourly_user_agg,
+    'top_customers': top_customers,
+    'fingerprint_documents': fingerprint_documents,
+    'ann_topk_embeddings': ann_topk_embeddings,
+    'minhash_dedup_documents': minhash_dedup_documents,
+    'simhash_documents': simhash_documents,
+    'lang_id_documents': lang_id_documents,
+    'ivf_ann_embeddings': ivf_ann_embeddings,
+    'multimodal_image_features': multimodal_image_features,
+    'web_kg_construction': web_kg_construction,
+}
+
+ORACLE_SQL = {
+    'rml_customer_triples': f'''
+        SELECT '<{EX}/customer/' || CAST(c_custkey AS VARCHAR) || '>' AS subject,
+               '<{RDF_TYPE_IRI}>' AS predicate,
+               '<{EX}/ontology/Customer>' AS object
+        FROM customer
+        UNION
+        SELECT '<{EX}/customer/' || CAST(c_custkey AS VARCHAR) || '>',
+               '<http://xmlns.com/foaf/0.1/name>',
+               '"' || c_name || '"'
+        FROM customer
+    ''',
+    'rml_join_order_customer': f'''
+        SELECT DISTINCT '<{EX}/order/' || CAST(o_orderkey AS VARCHAR) || '>' AS subject,
+               '<{EX}/ontology/placedBy>' AS predicate,
+               '<{EX}/customer/' || CAST(c_custkey AS VARCHAR) || '>' AS object
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ''',
+    'rml_lineitem_datatype': f'''
+        SELECT DISTINCT '<{EX}/order/' || CAST(l_orderkey AS VARCHAR) || '/line/'
+                 || CAST(l_linenumber AS VARCHAR) || '>' AS subject,
+               '<{EX}/ontology/quantity>' AS predicate,
+               '"' || CAST(CAST(TRUNC(l_quantity) AS BIGINT) AS VARCHAR)
+                 || '"^^<{XSD_INT}>' AS object
+        FROM lineitem
+    ''',
+    'rml_events_nquads': f'''
+        SELECT DISTINCT '<{EX}/event/' || CAST(event_id AS VARCHAR) || '>' AS subject,
+               '<{EX}/ontology/ts>' AS predicate,
+               '"' || REPLACE(CAST(ts AS VARCHAR), ' ', 'T')
+                 || '"^^<http://www.w3.org/2001/XMLSchema#dateTime>' AS object,
+               '<{EX}/graph/' || event_type || '>' AS graph
+        FROM events
+    ''',
+    'rml_documents_lang': f'''
+        SELECT DISTINCT '<{EX}/doc/' || CAST(doc_id AS VARCHAR) || '>' AS subject,
+               '<http://schema.org/text>' AS predicate,
+               '"' || text || '"@' || lang AS object
+        FROM documents
+    ''',
+    'dedup_exact_documents': '''
+        SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text
+    ''',
+    'token_count_documents': r'''
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        FROM documents
+    ''',
+    'quality_stats_documents': r'''
+        SELECT doc_id,
+               length(text) AS n_chars_computed,
+               length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+        FROM documents
+    ''',
+    'lang_count_documents': '''
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+        FROM documents GROUP BY lang
+    ''',
+    'events_hourly_user_agg': '''
+        SELECT user_id,
+               CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+               COUNT(*) AS n_events,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_cents
+        FROM events GROUP BY 1, 2
+    ''',
+    'top_customers': '''
+        SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+        GROUP BY o_custkey ORDER BY n_orders DESC, o_custkey LIMIT 10
+    ''',
+    'fingerprint_documents': '''
+        SELECT doc_id, sha256(text) AS fingerprint FROM documents
+    ''',
+    'ann_topk_embeddings': '''
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                   ORDER BY vec_id LIMIT 5),
+             scored AS (
+               SELECT q.query_id, e.vec_id AS neighbor_id,
+                      ROW_NUMBER() OVER (
+                        PARTITION BY q.query_id
+                        ORDER BY list_cosine_similarity(
+                            CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC,
+                          e.vec_id ASC) AS rn
+               FROM q CROSS JOIN embeddings e)
+        SELECT query_id, neighbor_id FROM scored WHERE rn <= 10
+    ''',
+}

@@ -1,0 +1,42 @@
+"""Representative conformance subset (the full corpus runs via
+scripts/sweep_conformance.py; latest full-sweep status is recorded in
+BASELINE.md).  Uses one session-scoped Ray fixture."""
+
+import glob
+import os
+
+import pytest
+
+from tc_harness import assert_tc_matches, expects_error, run_tc
+
+ROOT = '/root/reference/test'
+
+SUBSET = (
+    # rml-core across source formats
+    'rml-core/csv/RMLTC0000', 'rml-core/csv/RMLTC0001a', 'rml-core/csv/RMLTC0002a',
+    'rml-core/csv/RMLTC0004a', 'rml-core/csv/RMLTC0006a', 'rml-core/csv/RMLTC0007d',
+    'rml-core/csv/RMLTC0009a', 'rml-core/csv/RMLTC0010b', 'rml-core/csv/RMLTC0015a',
+    'rml-core/csv/RMLTC0019a', 'rml-core/csv/RMLTC0020a',
+    'rml-core/json/RMLTC0001a', 'rml-core/json/RMLTC0007a', 'rml-core/json/RMLTC0009a',
+    'rml-core/json/complex',
+    'rml-core/xml/RMLTC0002a', 'rml-core/xml/attributes',
+    'rml-core/tabular/RMLTC0002a_PARQUET',
+    # joins / star / views / functions / in-memory
+    'rml-star/RMLSTARTC002a', 'rml-star/RMLSTARTC004a', 'rml-star/RMLSTARTC008a',
+    'rml-tv/RMLTVTC0002d', 'rml-tv/RMLTVTC0015a',
+    'rml-fnml/RMLFNOTC0004-CSV', 'rml-fnml/controls_if', 'rml-fnml/udf',
+    'rml-in-memory/json_dictionary/RMLIMTC0001a', 'rml-in-memory/dataframe/RMLIMTC0001a',
+    'issues/issue_81', 'issues/issue_118',
+)
+
+
+@pytest.mark.parametrize('tc', SUBSET)
+def test_conformance_case(ray_session, tc):
+    tc_dir = os.path.join(ROOT, tc)
+    if not os.path.isdir(tc_dir):
+        pytest.skip(f'{tc} not in corpus snapshot')
+    if expects_error(tc_dir):
+        with pytest.raises(Exception):
+            run_tc(tc_dir)
+    else:
+        assert_tc_matches(tc_dir)

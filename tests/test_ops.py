@@ -1,0 +1,131 @@
+"""Unit tests for the training-data operators and the web pipeline."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture()
+def docs_ds(ray_session):
+    import ray.data as rd
+    rows = [
+        {'doc_id': 1, 'text': 'the quick brown fox jumps over the lazy dog again and again today'},
+        {'doc_id': 2, 'text': 'the quick brown fox jumps over the lazy dog again and again today'},
+        {'doc_id': 3, 'text': 'the quick brown fox jumps over the lazy cat again and again today'},
+        {'doc_id': 4, 'text': 'completely different content about Ray Data pipelines and arrow batches here'},
+        {'doc_id': 5, 'text': ''},
+    ]
+    return rd.from_items(rows)
+
+
+def test_token_count(docs_ds):
+    from morph_kgc_ray.ops.text import token_count
+    out = token_count(docs_ds).to_pandas().set_index('doc_id')['n_tokens'].to_dict()
+    assert out[1] == 13 and out[5] == 0
+
+
+def test_exact_dedup_keeps_min_id(docs_ds):
+    from morph_kgc_ray.ops.dedup import exact_dedup
+    out = exact_dedup(docs_ds, ['text'], 'doc_id').to_pandas()
+    ids = set(out['doc_id'])
+    assert 1 in ids and 2 not in ids and 3 in ids and 4 in ids
+
+
+def test_minhash_clusters_group_near_duplicates(docs_ds):
+    from morph_kgc_ray.ops.dedup import minhash_dedup_clusters
+    out = minhash_dedup_clusters(docs_ds, rounds=2).to_pandas()
+    clusters = dict(zip(out['doc_id'], out['cluster_id']))
+    # exact duplicates must cluster together under the min id
+    assert clusters.get(2) == 1
+    # doc 4 (unrelated) must not join cluster 1
+    assert clusters.get(4, 4) != 1
+
+
+def test_simhash_identical_docs_equal(docs_ds):
+    from morph_kgc_ray.ops.dedup import simhash
+    out = simhash(docs_ds).to_pandas()
+    h = dict(zip(out['doc_id'], out['simhash']))
+    assert h[1] == h[2]
+    assert h[1] != h[4]
+
+
+def test_ngram_jaccard():
+    from morph_kgc_ray.ops.dedup import ngram_jaccard
+    assert ngram_jaccard('abcdef', 'abcdef') == 1.0
+    assert ngram_jaccard('abcdef', 'uvwxyz') == 0.0
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    import ray.data as rd
+    from morph_kgc_ray.ops.similarity import brute_force_topk
+    rng = np.random.default_rng(0)
+    V = rng.normal(size=(200, 16)).astype(np.float32)
+    ds = rd.from_items([{'vec_id': i, 'embedding': V[i].tolist()} for i in range(200)])
+    out = brute_force_topk(ds, V[:3], np.arange(3), k=5)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = Vn[:3] @ Vn.T
+    for qi in range(3):
+        expected = set(np.argsort(-sims[qi])[:5].tolist())
+        got = {n for q, n in zip(out['query_id'].to_pylist(), out['neighbor_id'].to_pylist()) if q == qi}
+        assert got == expected
+
+
+def test_lang_id(ray_session):
+    import ray.data as rd
+    from morph_kgc_ray.ops.text import lang_id
+    ds = rd.from_items([
+        {'doc_id': 1, 'text': 'the cat and the dog of the house is in that garden'},
+        {'doc_id': 2, 'text': 'der Hund und die Katze ist das nicht ein Haus'},
+    ])
+    out = lang_id(ds, concurrency=1).to_pandas().set_index('doc_id')['lang_pred'].to_dict()
+    assert out[1] == 'en' and out[2] == 'de'
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+    from morph_kgc_ray.ops.multimodal import decode_images, sample_frames
+    ds = rd.from_items([{'doc_id': i, 'image': bytes([i]) * 100} for i in range(4)])
+    out = decode_images(ds, concurrency=1, batch_size=2).to_pandas()
+    assert set(out.columns) >= {'width', 'height', 'features'}
+    assert len(out) == 4
+    vds = rd.from_items([{'doc_id': 1, 'video': b'0123456789abcdef'}])
+    frames = sample_frames(vds, n_frames=4, concurrency=1).to_pandas()
+    assert len(frames) == 4 and list(frames['frame_index']) == [0, 1, 2, 3]
+
+
+def test_web_pipeline_invariant_and_resume(ray_session, tmp_path):
+    import ray.data as rd
+    from morph_kgc_ray.pipelines.pages import extract_text, pages_parquet_dir
+    from morph_kgc_ray.pipelines.web import web_kg_triples, write_web_kg
+
+    d = pages_parquet_dir(300, seed=11, num_files=2)
+    # per-row invariant: pipeline-extracted text == reference extractor output
+    raw = rd.read_parquet(d, columns=['url', 'html', 'text']).to_pandas()
+    for h, t in zip(raw['html'], raw['text']):
+        assert extract_text(h) == t
+
+    pages = rd.read_parquet(d, columns=['url', 'warc_ts', 'html', 'lang'])
+    tri = web_kg_triples(pages, concurrency=1).to_pandas()
+    assert set(tri['partition']) == {'p_url', 'p_date', 'p_lang', 'p_text', 'p_mentions'}
+    # every page contributes exactly one url triple
+    assert (tri['partition'] == 'p_url').sum() == 300
+    # dedup: no duplicate triples
+    assert not tri.duplicated(['subject', 'predicate', 'object']).any()
+
+    out_dir = str(tmp_path / 'kg')
+    pages2 = rd.read_parquet(d, columns=['url', 'warc_ts', 'html', 'lang'])
+    rep = write_web_kg(pages2, out_dir, resume=False, concurrency=1)
+    assert rep['total'] == len(tri)
+    rep2 = write_web_kg(pages2, out_dir, resume=True, concurrency=1)
+    assert rep2['total'] == rep['total']  # resumed from manifest, no rewrite
+
+
+def test_engine_resumable_writer(ray_session, tmp_path):
+    from morph_kgc_ray import Config, materialize_to_dir
+    cfg = Config({'DS': {'mappings': '/root/reference/test/rml-core/csv/RMLTC0001a/mapping.ttl'},
+                  'source_base_dir': '/root/reference', 'output_format': 'N-TRIPLES'})
+    out = str(tmp_path / 'out')
+    rep = materialize_to_dir(cfg, out, resume=False)
+    assert sum(v['rows'] for v in rep.values()) == 1
+    rep2 = materialize_to_dir(cfg, out, resume=True)
+    assert all(v['skipped'] for v in rep2.values())
