@@ -157,7 +157,7 @@ def events_hourly_user_agg(sf_dir: str):
     def bucketize(t: pa.Table) -> pa.Table:
         us = pc.cast(t['ts'], pa.int64())
         hour = pc.divide(us, pa.scalar(3_600_000_000, pa.int64()))
-        cents = pc.cast(pc.round(pc.multiply(t['value'], pa.scalar(100.0))), pa.int64())
+        cents = pc.cast(pc.floor(pc.multiply(t['value'], pa.scalar(100.0))), pa.int64())
         return pa.table({'user_id': t['user_id'], 'hour_bucket': hour, 'value_cents': cents})
 
     ds = ds.map_batches(bucketize, batch_format='pyarrow')
@@ -320,14 +320,14 @@ ORACLE_SQL = {
         FROM documents
     ''',
     'lang_count_documents': '''
-        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM documents GROUP BY lang
     ''',
     'events_hourly_user_agg': '''
         SELECT user_id,
                CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
                COUNT(*) AS n_events,
-               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_cents
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
         FROM events GROUP BY 1, 2
     ''',
     'top_customers': '''
