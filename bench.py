@@ -28,7 +28,7 @@ NUM_CPUS = int(os.environ.get('RAY_GRAFT_CPUS', '32'))
 
 # headline corpus size by sf (pages rows; ~21 triples/page incl. mentions)
 _SF = SF_DIR.rstrip('/').rsplit('sf', 1)[-1]
-HEADLINE_ROWS = {'0.001': 2000, '0.01': 10000, '0.1': 60000}.get(_SF, 20000)
+HEADLINE_ROWS = {'0.001': 2000, '0.01': 10000, '0.1': 150000}.get(_SF, 20000)
 
 BENCH_QUERIES = [
     'rml_customer_triples', 'rml_join_order_customer', 'rml_lineitem_datatype',
@@ -79,14 +79,15 @@ def main() -> None:
     from morph_kgc_ray.pipelines.web import web_kg_triples
 
     # ---- headline: flagship web KG construction ----
-    pages_dir = pages_parquet_dir(HEADLINE_ROWS, num_files=max(8, NUM_CPUS))
+    # fixed shard count so every parallelism level reads the IDENTICAL input
+    pages_dir = pages_parquet_dir(HEADLINE_ROWS, num_files=32)
     # warm the OS page cache so we measure compute + shuffle, not cold disk
     rd.read_parquet(pages_dir, columns=['url']).count()
 
     t0 = time.time()
     pages = rd.read_parquet(pages_dir, columns=['url', 'warc_ts', 'html', 'lang'])
-    triples = web_kg_triples(pages, concurrency=max(2, NUM_CPUS // 4),
-                             dedup_partitions=max(8, NUM_CPUS // 2))
+    triples = web_kg_triples(pages, concurrency=max(2, int(NUM_CPUS * 0.6)),
+                             batch_size=512, dedup_partitions=max(8, NUM_CPUS // 2))
     n_triples = triples.count()
     headline_sec = time.time() - t0
 

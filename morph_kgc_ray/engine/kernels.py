@@ -356,24 +356,59 @@ def stringify_column(col: 'pa.ChunkedArray | pa.Array') -> pa.Array:
 
 
 def source_prologue(table: pa.Table, references: list[str], na_values: list[str],
-                    local_distinct: bool = True) -> pa.Table:
+                    local_distinct: bool = True, keep_order: bool = False,
+                    null_ok_refs: 'list[str] | None' = None) -> pa.Table:
     """Project to referenced columns, stringify, apply na_values filtering,
     drop rows with nulls in any reference, and locally dedup the block.
-    (The reference's _preprocess_data contract, materializer.py:37-55.)"""
+    (The reference's _preprocess_data contract, materializer.py:37-55.)
+
+    ``keep_order=True`` preserves (or creates) ``__order``/``__record``
+    columns carrying source row/record order — RML-CC collection construction
+    is order-sensitive; dedup keeps the first occurrence per record.
+    ``null_ok_refs`` lists references whose nulls do NOT drop the row
+    (empty-collection support for rml:allowEmptyListAndContainer)."""
     if not references:
         return table
     cols = []
     na_set = [v for v in na_values if v is not None]
+    null_ok = set(null_ok_refs or ())
     for ref in references:
         col = stringify_column(table[ref])
         if na_set:
             col = pc.if_else(pc.is_in(col, value_set=pa.array(na_set, pa.large_string())),
                              pa.scalar(None, pa.large_string()), col)
         cols.append(col)
-    out = pa.table({r: c for r, c in zip(references, cols)})
-    out = out.drop_null()
+    data = {r: c for r, c in zip(references, cols)}
+    passthrough = []
+    if keep_order:
+        for aux in ('__order', '__record'):
+            if aux in table.column_names:
+                a = table[aux]
+                if isinstance(a, pa.ChunkedArray):
+                    a = a.combine_chunks()
+                data[aux] = a.cast(pa.int64())
+                passthrough.append(aux)
+        if '__order' not in data:
+            data['__order'] = pa.array(np.arange(table.num_rows, dtype=np.int64))
+            passthrough.insert(0, '__order')
+    out = pa.table(data)
+    # null filter (rows with nulls only in null_ok refs survive)
+    strict = [r for r in references if r not in null_ok]
+    if strict:
+        mask = None
+        for r in strict:
+            valid = pc.is_valid(out[r])
+            mask = valid if mask is None else pc.and_(mask, valid)
+        out = out.filter(mask)
     if local_distinct and out.num_rows:
-        out = table_distinct(out)
+        if keep_order:
+            keys = list(references) + (['__record'] if '__record' in passthrough else [])
+            safe = [f'c{i}' for i in range(len(keys))]
+            t = out.select(keys + ['__order']).rename_columns(safe + ['__order'])
+            t = t.group_by(safe, use_threads=False).aggregate([('__order', 'min')])
+            out = t.rename_columns(keys + ['__order'])
+        else:
+            out = table_distinct(out)
     return out
 
 

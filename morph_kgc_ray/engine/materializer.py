@@ -401,7 +401,12 @@ def materialize_rule(rule, rml_df, fnml_df, config: Config, data=None,
     elif pd.notna(rule.get('gather')) or pd.notna(rule.get('gather_subject')) or sm_type == RML_GATHER:
         from .gather import materialize_gather_rule
         if data is None:
-            data = read_source(rule, sorted(references), config, python_source)
+            # gather references tolerate nulls at read time: a record with a
+            # missing/empty gather list still forms a (possibly empty)
+            # collection; emptiness policy is applied during construction
+            gather_refs = [r.strip() for r in str(rule.get('gather_references') or '').split(',') if r.strip()]
+            data = read_source(rule, sorted(references), config, python_source, keep_order=True,
+                               null_ok_refs=tuple(gather_refs))
         ds = materialize_gather_rule(data, rule, config)
 
     else:

@@ -26,11 +26,13 @@ from ..constants import (
 from ..engine.kernels import source_prologue
 
 
-def _prologue_fn(references: list[str], na_values: list[str]):
+def _prologue_fn(references: list[str], na_values: list[str], keep_order: bool = False,
+                 null_ok_refs: 'tuple | list' = ()):
     refs = list(references)
 
     def fn(batch: pa.Table) -> pa.Table:
-        return source_prologue(batch, refs, na_values)
+        return source_prologue(batch, refs, na_values, keep_order=keep_order,
+                               null_ok_refs=null_ok_refs)
     return fn
 
 
@@ -54,10 +56,12 @@ def _resolve_path(rule, config: Config):
     return candidate
 
 
-def read_source(rule, references: list[str], config: Config, python_source=None) -> ray.data.Dataset:
+def read_source(rule, references: list[str], config: Config, python_source=None,
+                keep_order: bool = False, null_ok_refs: 'tuple | list' = ()) -> ray.data.Dataset:
     """Dataset of the rule's logical source, projected to ``references`` and
     preprocessed per the reference contract (stringified, null-dropped,
-    block-locally deduped)."""
+    block-locally deduped).  ``keep_order`` adds a ``__order`` column with the
+    source row order (RML-CC collections are order-sensitive)."""
     references = sorted(set(references))
     if rule['source_type'] in ('CSV', 'TSV', 'PARQUET', 'JSON', 'XML', 'FEATHER', 'ORC') \
             and rule['logical_source_type'] != RML_QUERY:
@@ -65,8 +69,8 @@ def read_source(rule, references: list[str], config: Config, python_source=None)
         rule['logical_source_value'] = _resolve_path(rule, config)
     source_type = rule['source_type']
     na_values = config.get_na_values()
-    prologue = _prologue_fn(references, na_values)
-
+    prologue = _prologue_fn(references, na_values, keep_order=keep_order,
+                            null_ok_refs=null_ok_refs)
     if rule['logical_source_type'] == RML_QUERY:
         ds = _read_tabular_view(rule, config)
     elif source_type == PARQUET:
@@ -74,9 +78,10 @@ def read_source(rule, references: list[str], config: Config, python_source=None)
     elif source_type in (CSV, TSV):
         ds = _read_csv(rule, references, source_type)
     elif source_type == JSON:
-        return _read_json(rule, references, na_values)
+        return _read_json(rule, references, na_values, keep_order=keep_order,
+                          null_ok_refs=null_ok_refs)
     elif source_type == XML:
-        return _read_xml(rule, references, na_values)
+        return _read_xml(rule, references, na_values, keep_order=keep_order)
     elif source_type == PYTHON_SOURCE:
         ds = _read_python_source(rule, references, python_source)
     elif source_type in ('FEATHER', 'ORC'):
@@ -219,7 +224,10 @@ class JsonIteratorKernel:
     apply the iterator, flatten hierarchical records to the cartesian product
     of their list values, json_normalize, and drop rows with nulls."""
 
-    def __init__(self, iterator: str, references: list[str], project_full_reference: bool = False):
+    def __init__(self, iterator: str, references: list[str], project_full_reference: bool = False,
+                 with_record_ids: bool = False, null_ok_refs: 'tuple | list' = ()):
+        self.with_record_ids = with_record_ids
+        self.null_ok_refs = tuple(null_ok_refs)
         from jsonpath_ng.ext import parse as jsonpath_parse
         self.references = list(references)
         self.expr = jsonpath_parse(iterator)
@@ -233,44 +241,79 @@ class JsonIteratorKernel:
         # (python_data.py:52-56) — top-level is the common effective behavior
         self.project_full_reference = project_full_reference
 
-    def iterate_object(self, data) -> pd.DataFrame:
+    def iterate_object(self, data, with_record_ids: bool = False,
+                       null_ok_refs: 'tuple | list' = ()) -> pd.DataFrame:
         matches = [m.value for m in self.expr.find(data)]
         if not matches and self.alt_expr is not None:
             matches = [m.value for m in self.alt_expr.find(data)]
         # project to the top-level keys of the references BEFORE flattening:
         # unrelated empty-list keys must not null out whole records
         top_keys = {r.split('.')[0] for r in self.references}
-        matches = [{k: v for k, v in m.items() if k in top_keys} if isinstance(m, dict) else m
-                   for m in matches]
-        records = [r for r in _normalize_hierarchical_data(matches)
-                   if isinstance(r, dict) and None not in r.values()]
-        df = pd.json_normalize(records)
-        # references must match json_normalize's flattened column names
-        # exactly (reference semantics: a non-matching reference becomes
-        # an all-null column and its rule generates nothing)
-        df = df.reindex(columns=self.references)
-        df = df.dropna(axis=0, how='any')
+        null_ok = set(null_ok_refs)
+        frames = []
+        for mi, m in enumerate(matches):
+            proj = {k: v for k, v in m.items() if k in top_keys} if isinstance(m, dict) else m
+            records = []
+            for r in _normalize_hierarchical_data([proj]):
+                if not isinstance(r, dict):
+                    continue
+                # reference drops records containing nulls (data_file.py:157-161)
+                # except in explicitly null-tolerated (gather) references
+                if any(v is None for k, v in r.items() if k not in null_ok):
+                    continue
+                records.append(r)
+            df = pd.json_normalize(records)
+            # references must match json_normalize's flattened column names
+            # exactly (reference semantics: a non-matching reference becomes
+            # an all-null column and its rule generates nothing)
+            df = df.reindex(columns=self.references)
+            df = df.dropna(axis=0, how='any',
+                           subset=[r for r in self.references if r not in null_ok])
+            if with_record_ids:
+                df['__record'] = mi
+            frames.append(df)
+        if not frames:
+            cols = {r: pd.Series(dtype=object) for r in self.references}
+            if with_record_ids:
+                cols['__record'] = pd.Series(dtype='int64')
+            return pd.DataFrame(cols)
+        out = pd.concat(frames, ignore_index=True)
         # convert_dtypes keeps integers integral (10 -> '10', not '10.0')
         # even when a sibling record's missing key upcast the column
-        return df.convert_dtypes(convert_boolean=False)
+        return out.convert_dtypes(convert_boolean=False)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         frames = []
         for blob in batch['bytes']:
             data = json.loads(blob.decode('utf-8') if isinstance(blob, (bytes, bytearray)) else blob)
-            frames.append(self.iterate_object(data))
+            frames.append(self.iterate_object(data, with_record_ids=self.with_record_ids,
+                                              null_ok_refs=self.null_ok_refs))
         if not frames:
-            return pd.DataFrame({r: pd.Series(dtype=object) for r in self.references})
+            cols = {r: pd.Series(dtype=object) for r in self.references}
+            if self.with_record_ids:
+                cols['__record'] = pd.Series(dtype='int64')
+            return pd.DataFrame(cols)
         out = pd.concat(frames, ignore_index=True)
-        return out.astype(str)
+        aux = [c for c in ('__record',) if c in out.columns]
+        str_part = out[[c for c in out.columns if c not in aux]].astype(str)
+        # keep nulls null (astype(str) would stringify pandas NA to '<NA>')
+        for c in str_part.columns:
+            str_part[c] = str_part[c].where(out[c].notna(), None)
+        for c in aux:
+            str_part[c] = out[c].astype('int64')
+        return str_part
 
 
-def _read_json(rule, references, na_values) -> ray.data.Dataset:
+def _read_json(rule, references, na_values, keep_order: bool = False,
+               null_ok_refs: 'tuple | list' = ()) -> ray.data.Dataset:
     path = rule['logical_source_value']
     ds = ray.data.read_binary_files(path)
-    kernel = JsonIteratorKernel(rule['iterator'], references)
+    kernel = JsonIteratorKernel(rule['iterator'], references, with_record_ids=keep_order,
+                                null_ok_refs=null_ok_refs)
     ds = ds.map_batches(kernel.__call__, batch_format='pandas')
-    return ds.map_batches(_prologue_fn(references, na_values), batch_format='pyarrow')
+    return ds.map_batches(_prologue_fn(references, na_values, keep_order=keep_order,
+                                       null_ok_refs=null_ok_refs),
+                          batch_format='pyarrow')
 
 
 class XmlIteratorKernel:
@@ -357,9 +400,10 @@ class XmlIteratorKernel:
         return pd.DataFrame(rows, columns=self.references, dtype=object)
 
 
-def _read_xml(rule, references, na_values) -> ray.data.Dataset:
+def _read_xml(rule, references, na_values, keep_order: bool = False) -> ray.data.Dataset:
     path = rule['logical_source_value']
     ds = ray.data.read_binary_files(path)
     kernel = XmlIteratorKernel(rule['iterator'], references)
     ds = ds.map_batches(kernel.__call__, batch_format='pandas')
-    return ds.map_batches(_prologue_fn(references, na_values), batch_format='pyarrow')
+    return ds.map_batches(_prologue_fn(references, na_values, keep_order=keep_order),
+                          batch_format='pyarrow')
