@@ -351,6 +351,10 @@ def stringify_column(col: 'pa.ChunkedArray | pa.Array') -> pa.Array:
         return pc.strftime(col.cast(pa.timestamp('us')), format='%Y-%m-%d').cast(pa.large_string())
     if pa.types.is_integer(t) or pa.types.is_decimal(t):
         return pc.cast(col, pa.large_string())
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        # R2RML natural mapping of binary: uppercase hex (W3C R2RMLTC0016e)
+        return pa.array([None if v is None else v.hex().upper() for v in col.to_pylist()],
+                        type=pa.large_string())
     # fallback: per-value python str
     return pa.array([None if v is None else str(v) for v in col.to_pylist()], type=pa.large_string())
 

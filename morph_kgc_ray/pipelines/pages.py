@@ -23,11 +23,17 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-# deterministic vocabulary: plain words + linkable entity surface forms
+# deterministic vocabulary: plain words + linkable entity surface forms.
+# Every canonical entity has several alias surface forms; the linker must
+# canonicalize any alias to the entity IRI (the north-star's
+# "IRI canonicalization" stage).
 _WORDS = [f'w{i:03d}' for i in range(500)]
 ENTITY_NAMES = [f'Acme{i:03d}' for i in range(100)] + [f'Globex{i:03d}' for i in range(100)]
+ALIAS_SUFFIXES = ['', ' Inc', ' Corp', ' Ltd', ' Group', ' Holdings', ' Labs', ' Systems', ' AG', ' SA']
+ENTITY_ALIASES = {f'{name}{suf}': name for name in ENTITY_NAMES for suf in ALIAS_SUFFIXES}
 ENTITY_IRI_PREFIX = 'http://kg.example.org/entity/'
 _LANGS = ['en', 'de', 'fr', 'es']
+_ALIAS_LIST = list(ENTITY_ALIASES)
 
 _BOILERPLATE_HEAD = ('<html><head><title></title>'
                      '<script>var x = 1; // tracking stub</script>'
@@ -67,9 +73,9 @@ def _page_text(rng: np.random.Generator, hot: bool) -> str:
         # sprinkle entity mentions (hot pages mention hot entities)
         n_ents = int(rng.integers(1, 4))
         for _ in range(n_ents):
-            ent_idx = int(rng.integers(0, 20)) if hot else int(rng.integers(0, len(ENTITY_NAMES)))
+            ent_idx = int(rng.integers(0, 200)) if hot else int(rng.integers(0, len(_ALIAS_LIST)))
             pos = int(rng.integers(0, len(words)))
-            words.insert(pos, ENTITY_NAMES[ent_idx])
+            words.insert(pos, _ALIAS_LIST[ent_idx])
         paras.append(' '.join(words))
     return '\n'.join(paras)
 
@@ -107,7 +113,7 @@ def pages_parquet_dir(num_rows: int, seed: int = 42, num_files: int = 8,
                       cache_root: str = '/tmp/morph_kgc_ray_pages') -> str:
     """Materialize (and cache) the pages table as a directory of parquet
     shards — one file per shard so reads parallelize."""
-    out = os.path.join(cache_root, f'rows{num_rows}_seed{seed}_f{num_files}')
+    out = os.path.join(cache_root, f'v2_rows{num_rows}_seed{seed}_f{num_files}')
     done = os.path.join(out, '_DONE')
     if os.path.exists(done):
         return out

@@ -41,11 +41,17 @@ SCHEMA_DATE = 'http://schema.org/dateModified'
 SCHEMA_LANG = 'http://schema.org/inLanguage'
 SCHEMA_TEXT = 'http://schema.org/text'
 SCHEMA_MENTIONS = 'http://schema.org/mentions'
+SCHEMA_SHA256 = 'http://schema.org/sha256'
+SCHEMA_DETECTED_LANG = 'http://kg.example.org/ontology/detectedLanguage'
+SCHEMA_QUALITY = 'http://kg.example.org/ontology/qualityScore'
 PAGE_TEMPLATE = 'http://crawl.example.org/page/{url}'
 
 
 def default_gazetteer() -> dict[str, str]:
-    return {name: f'{ENTITY_IRI_PREFIX}{name.lower()}' for name in ENTITY_NAMES}
+    """alias surface form -> canonical entity IRI (alias canonicalization)."""
+    from .pages import ENTITY_ALIASES
+    return {alias: f'{ENTITY_IRI_PREFIX}{canonical.lower()}'
+            for alias, canonical in ENTITY_ALIASES.items()}
 
 
 class TripleEmitKernel:
@@ -57,11 +63,14 @@ class TripleEmitKernel:
     rules plus mention triples, emit (partition, subject, predicate, object).
     """
 
-    def __init__(self, gazetteer_ref=None, emit_text_literal: bool = True):
+    def __init__(self, gazetteer_ref=None, emit_text_literal: bool = False):
         gaz = ray.get(gazetteer_ref) if gazetteer_ref is not None else default_gazetteer()
         forms = sorted(gaz, key=len, reverse=True)
         self.mention_rx = re.compile(r'\b(' + '|'.join(re.escape(f) for f in forms) + r')\b')
         self.canon = gaz
+        # full page text as a literal is optional: at crawl scale the KG
+        # stores a content DIGEST per page instead — shuffling multi-KB page
+        # bodies through the dedup exchange is the wrong physical design
         self.emit_text_literal = emit_text_literal
         self.subject_plan = compile_term_plan(RML_TEMPLATE, PAGE_TEMPLATE, 'subject', termtype=RML_IRI)
         self.url_obj = compile_term_plan(RML_TEMPLATE, '{url}', 'object', termtype=RML_IRI)
@@ -69,6 +78,12 @@ class TripleEmitKernel:
                                           datatype=XSD_DATETIME)
         self.lang_obj = compile_term_plan(RML_TEMPLATE, '{lang}', 'object', termtype=RML_LITERAL)
         self.text_obj = compile_term_plan(RML_TEMPLATE, '{text}', 'object', termtype=RML_LITERAL)
+        from ..ops.text import LangIdKernel
+        self._langid_kernel = LangIdKernel()
+
+    def langid(self, t: pa.Table):
+        out = self._langid_kernel(t.select(['text']))
+        return out['lang_pred'].combine_chunks()
 
     def __call__(self, t: pa.Table) -> pa.Table:
         # --- extraction (html dropped immediately) ---
@@ -103,6 +118,29 @@ class TripleEmitKernel:
             text_lit = ljoin(materialize_term(t, self.text_obj), '@',
                              t['lang'].combine_chunks().cast(pa.large_string()))
             emit('p_text', SCHEMA_TEXT, text_lit)
+        else:
+            import hashlib
+            digests = [hashlib.sha256((x or '').encode('utf-8')).hexdigest()
+                       for x in t['text'].to_pylist()]
+            emit('p_digest', SCHEMA_SHA256,
+                 pa.array([f'"{d}"' for d in digests], pa.large_string()))
+
+        # --- text analysis: detected language + quality score triples ---
+        # (the KG records observed language and a web-quality heuristic per
+        # page; the per-actor marker tables come from ops.text.LangIdKernel)
+        lang_pred = self.langid(t)
+        emit('p_langdet', SCHEMA_DETECTED_LANG,
+             ljoin('"', lang_pred.cast(pa.large_string()), '"'))
+        import pyarrow.compute as pc
+        col = t['text']
+        n_chars = pc.max_element_wise(pc.cast(pc.utf8_length(col), pa.float64()), 1.0)
+        n_punct = pc.cast(pc.count_substring_regex(col, r'[^\w\s]'), pa.float64())
+        n_digit = pc.cast(pc.count_substring_regex(col, r'[0-9]'), pa.float64())
+        n_upper = pc.cast(pc.count_substring_regex(col, r'[A-Z]'), pa.float64())
+        score = pc.subtract(1.0, pc.min_element_wise(
+            1.0, pc.divide(pc.add(pc.add(n_punct, n_digit), pc.multiply(n_upper, 0.5)), n_chars)))
+        score_lit = [f'"{v:.4f}"' for v in score.to_pylist()]
+        emit('p_quality', SCHEMA_QUALITY, pa.array(score_lit, pa.large_string()))
 
         # --- mention detection + canonicalization ---
         m_subj, m_obj = [], []
@@ -131,7 +169,8 @@ class TripleEmitKernel:
 
 def web_kg_triples(pages: ray.data.Dataset, gazetteer: dict[str, str] | None = None,
                    concurrency: 'int | tuple' = 4, batch_size: int = 256,
-                   dedup_partitions: int = 16, emit_text_literal: bool = True) -> ray.data.Dataset:
+                   dedup_partitions: 'int | None' = None,
+                   emit_text_literal: bool = False) -> ray.data.Dataset:
     """Deduped triples Dataset (partition, subject, predicate, object)."""
     gaz_ref = ray.put(gazetteer or default_gazetteer())
     emitted = pages.map_batches(

@@ -71,7 +71,9 @@ def read_source(rule, references: list[str], config: Config, python_source=None,
     na_values = config.get_na_values()
     prologue = _prologue_fn(references, na_values, keep_order=keep_order,
                             null_ok_refs=null_ok_refs)
-    if rule['logical_source_type'] == RML_QUERY:
+    if source_type == 'RDB':
+        ds = _read_rdb(rule, references, config)
+    elif rule['logical_source_type'] == RML_QUERY:
         ds = _read_tabular_view(rule, config)
     elif source_type == PARQUET:
         ds = ray.data.read_parquet(rule['logical_source_value'], columns=references)
@@ -407,3 +409,51 @@ def _read_xml(rule, references, na_values, keep_order: bool = False) -> ray.data
     ds = ds.map_batches(kernel.__call__, batch_format='pandas')
     return ds.map_batches(_prologue_fn(references, na_values, keep_order=keep_order),
                           batch_format='pyarrow')
+
+
+def _build_sql_query(rule, references) -> 'str | None':
+    """SELECT refs FROM table WHERE refs IS NOT NULL, with double-quoted
+    identifiers (reference semantics, relational_db.py:152-172; backtick
+    dialect translation collapses to double quotes for SQLite)."""
+    if rule['logical_source_type'] == 'http://w3id.org/rml/query':
+        return rule['logical_source_value']
+    refs = list(references)
+    if not refs:
+        return None
+    def q(ident):
+        return '"' + ident.replace('.', '"."') + '"'
+    cols = ', '.join(q(r) for r in refs)
+    table = q(str(rule['logical_source_value']))
+    where = ' AND '.join(f'{q(r)} IS NOT NULL' for r in refs)
+    return f'SELECT {cols} FROM {table} WHERE {where}'
+
+
+def _read_rdb(rule, references, config: Config) -> ray.data.Dataset:
+    """Relational sources.  SQLite (stdlib driver) is supported natively; the
+    same query-building path plugs into ray.data.read_sql with any DBAPI
+    connection factory for server databases."""
+    db_url = config.get_db_url(rule['source_name'])
+    sql = _build_sql_query(rule, references)
+    if sql is None:
+        # all term maps constant (e.g. R2RML TC0006a): one placeholder row
+        return ray.data.from_pandas(pd.DataFrame({'placeholder': ['placeholder']}))
+    if db_url.startswith('sqlite'):
+        import sqlite3
+        path = db_url.split('///', 1)[-1]
+        con = sqlite3.connect(path)
+        try:
+            if rule['logical_source_type'] != 'http://w3id.org/rml/query':
+                # R2RML column names are case-sensitive; SQLite is not —
+                # enforce exact-case existence (W3C R2RMLTC0002b)
+                table = str(rule['logical_source_value'])
+                cols = {r[1] for r in con.execute(f'PRAGMA table_info("{table}")')}
+                missing = [r for r in references if r not in cols]
+                if missing:
+                    raise ValueError(f'Columns {missing} do not exist (case-sensitive) in table {table}.')
+            df = pd.read_sql_query(sql, con)
+        finally:
+            con.close()
+        return ray.data.from_pandas(df) if len(df) else ray.data.from_pandas(df.astype(object))
+    raise NotImplementedError(
+        'Only sqlite:// db_urls are runnable in this environment; other dialects '
+        'need their DBAPI drivers (use ray.data.read_sql with a connection factory).')

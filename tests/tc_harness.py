@@ -27,6 +27,9 @@ def run_tc(tc_dir: str, output_format: str = 'N-QUADS', python_source=None):
     udfs = glob.glob(os.path.join(tc_dir, 'udf*.py'))
     if udfs:
         options['udfs'] = udfs[0]
+    dbs = glob.glob(os.path.join(tc_dir, '*.db'))
+    if dbs:
+        options['DataSource1']['db_url'] = f'sqlite:///{dbs[0]}'
     cfg = Config(options)
     if python_source is None:
         python_source = extract_python_source(tc_dir)

@@ -106,7 +106,8 @@ def test_web_pipeline_invariant_and_resume(ray_session, tmp_path):
 
     pages = rd.read_parquet(d, columns=['url', 'warc_ts', 'html', 'lang'])
     tri = web_kg_triples(pages, concurrency=1).to_pandas()
-    assert set(tri['partition']) == {'p_url', 'p_date', 'p_lang', 'p_text', 'p_mentions'}
+    assert set(tri['partition']) == {'p_url', 'p_date', 'p_lang', 'p_digest',
+                                     'p_langdet', 'p_quality', 'p_mentions'}
     # every page contributes exactly one url triple
     assert (tri['partition'] == 'p_url').sum() == 300
     # dedup: no duplicate triples
