@@ -175,13 +175,29 @@ def distinct(ds: ray.data.Dataset, cols: list[str], num_partitions: int | None =
     ds = ds.map_batches(_local_distinct(cols), batch_format='pyarrow')
     ds = ds.repartition(max(2, ncpu))  # coalesce: exchange cost scales with block count
 
+    def _schema_empty() -> pa.Table:
+        data = {c: pa.array([], pa.large_string()) for c in cols}
+        data['__bucket'] = pa.array([], pa.int64())
+        return pa.table(data)
+
     def add_bucket(t: pa.Table) -> pa.Table:
         import polars as pl
+        # empty blocks can arrive schema-less (e.g. an empty rule dataset in
+        # a union); rebuild a schema-complete empty table so the exchange's
+        # sort key exists in every block
+        if t.num_rows == 0 or not set(cols) <= set(t.column_names):
+            return _schema_empty()
         h = pl.from_arrow(t.select(cols)).hash_rows(seed=7).to_numpy() % buckets
         return t.append_column('__bucket', pa.array(h.astype('int64')))
 
-    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(cols)[cols]
+    def block_distinct(t: pa.Table) -> pa.Table:
+        from .kernels import table_distinct
+        if t.num_rows == 0 or not set(cols) <= set(t.column_names):
+            return _schema_empty().drop_columns(['__bucket'])
+        return table_distinct(t.select(cols))
 
     ds = ds.map_batches(add_bucket, batch_format='pyarrow')
-    return ds.groupby('__bucket').map_groups(bucket_distinct, batch_format='pandas')
+    # keyed repartition co-locates equal buckets (hash exchange on the small
+    # int key; no aggregator-side sort, so empty partitions are harmless)
+    ds = ds.repartition(buckets, keys=['__bucket'], sort=False)
+    return ds.map_batches(block_distinct, batch_format='pyarrow', batch_size=None)
