@@ -20,6 +20,43 @@ ensure_hash_shuffle()
 from .config import Config
 from .engine.materializer import materialize_dataset, materialize_set, materialize_to_dir
 
-__all__ = ['Config', 'materialize_dataset', 'materialize_set', 'materialize_to_dir']
+
+def materialize_kafka(config, python_source=None, **kafka_kwargs):
+    """Stream the materialized triples to Kafka (reference API parity:
+    __init__.py:86-114).  Consumes the Dataset with iter_batches on the
+    driver and sends one message per partition batch — per-worker producers
+    inside map_batches are the scale path once a broker exists."""
+    try:
+        from kafka import KafkaProducer  # optional dependency, like the reference
+    except ImportError as e:  # pragma: no cover - kafka not in this container
+        raise NotImplementedError('materialize_kafka requires kafka-python') from e
+    producer = KafkaProducer(**kafka_kwargs)
+    topic = kafka_kwargs.get('topic', 'triples')
+    n = 0
+    for batch in materialize_dataset(config, python_source).iter_batches(
+            batch_size=65536, batch_format='pyarrow'):
+        payload = '.\n'.join(batch['triple'].to_pylist())
+        producer.send(topic, payload.encode('utf-8'))
+        n += batch.num_rows
+    producer.flush()
+    return n
+
+
+def materialize_oxigraph(config, python_source=None):
+    """Load the materialized triples into an Oxigraph store (reference API
+    parity: __init__.py:75-83)."""
+    try:
+        from pyoxigraph import Store  # optional dependency
+    except ImportError as e:  # pragma: no cover - oxigraph not in this container
+        raise NotImplementedError('materialize_oxigraph requires pyoxigraph') from e
+    import io
+    store = Store()
+    triples = materialize_set(config, python_source)
+    store.bulk_load(io.StringIO('.\n'.join(triples) + ('.' if triples else '')), 'application/n-quads')
+    return store
+
+
+__all__ = ['Config', 'materialize_dataset', 'materialize_set', 'materialize_to_dir',
+           'materialize_kafka', 'materialize_oxigraph']
 
 __version__ = '0.1.0'

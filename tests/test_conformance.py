@@ -40,3 +40,19 @@ def test_conformance_case(ray_session, tc):
             run_tc(tc_dir)
     else:
         assert_tc_matches(tc_dir)
+
+
+def test_yarrrml_complex_matches_golden(ray_session):
+    """The YARRRML form of the complex TC must be isomorphic to the same
+    golden as its Turtle twin."""
+    from morph_kgc_ray import Config, materialize_set
+    from morph_kgc_ray.mapping.yarrrml import yarrrml_to_turtle
+    from morph_kgc_ray.testing import graphs_equal, parse_nquads, triples_set_to_quads
+
+    tc = os.path.join(ROOT, 'rml-core/json/complex')
+    ttl = yarrrml_to_turtle(open(os.path.join(tc, 'mapping.yaml'), encoding='utf-8').read())
+    cfg = Config({'DS1': {}, 'source_base_dir': tc, 'output_format': 'N-QUADS'})
+    cfg.set_mappings_document('DS1', ttl)
+    ours = triples_set_to_quads(materialize_set(cfg))
+    golden = parse_nquads(open(os.path.join(tc, 'output.nq'), encoding='utf-8').read())
+    assert graphs_equal(ours, golden)
