@@ -48,6 +48,9 @@ KNOWN_SKIPS = (
     'r2rml/R2RMLTC0003a', 'r2rml/R2RMLTC0005b', 'r2rml/R2RMLTC0007e', 'r2rml/R2RMLTC0007f',
     'r2rml/R2RMLTC0008a', 'r2rml/R2RMLTC0012a', 'r2rml/R2RMLTC0012e', 'r2rml/R2RMLTC0016b',
     'r2rml/R2RMLTC0016c', 'r2rml/R2RMLTC0016d', 'r2rml/R2RMLTC0020a', 'r2rml/R2RMLTC0020b',
+    'r2rml/R2RMLTC0002b',  # fork test expects an environment-specific error; the
+                           # W3C golden for this TC is a normal (non-error) output,
+                           # which is what this engine produces
 )
 
 results = {}
