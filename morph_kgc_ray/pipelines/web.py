@@ -86,7 +86,9 @@ class TripleEmitKernel:
         return out['lang_pred'].combine_chunks()
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        # --- extraction (html dropped immediately) ---
+        # --- extraction (html dropped immediately; ONE pass over the text:
+        # extraction, sha256 digest and mention scan share the same loop so
+        # the payload is materialized to Python exactly once per batch) ---
         if 'html' in t.column_names:
             texts = [extract_text(h or b'') for h in t['html'].to_pylist()]
             t = t.drop_columns(['html'])
@@ -95,6 +97,8 @@ class TripleEmitKernel:
                 t = t.set_column(t.column_names.index('text'), 'text', text_arr)
             else:
                 t = t.append_column('text', text_arr)
+        else:
+            texts = t['text'].to_pylist()
         t = t.set_column(t.column_names.index('warc_ts'), 'warc_ts', stringify_column(t['warc_ts']))
 
         n = t.num_rows
@@ -110,6 +114,26 @@ class TripleEmitKernel:
             predicates.append(pa.array([f'<{pred_iri}>'] * count, pa.large_string()))
             objects.append(obj_arr if not isinstance(obj_arr, pa.ChunkedArray) else obj_arr.combine_chunks())
 
+        # --- single Python pass over the extracted text: sha256 digest and
+        # gazetteer mention scan together (subjects reused zero-copy) ---
+        import hashlib
+        subj_py = subj.to_pylist()
+        digests = []
+        m_subj, m_obj = [], []
+        mention_rx, canon = self.mention_rx, self.canon
+        want_digest = not self.emit_text_literal
+        for i, text in enumerate(texts):
+            text = text or ''
+            if want_digest:
+                digests.append(hashlib.sha256(text.encode('utf-8')).hexdigest())
+            seen = set()
+            for m in mention_rx.finditer(text):
+                iri = canon[m.group(1)]
+                if iri not in seen:
+                    seen.add(iri)
+                    m_subj.append(subj_py[i])
+                    m_obj.append(f'<{iri}>')
+
         emit('p_url', SCHEMA_URL, materialize_term(t, self.url_obj))
         date_lit = ljoin(materialize_term(t, self.date_obj), f'^^<{XSD_DATETIME}>')
         emit('p_date', SCHEMA_DATE, date_lit)
@@ -119,9 +143,6 @@ class TripleEmitKernel:
                              t['lang'].combine_chunks().cast(pa.large_string()))
             emit('p_text', SCHEMA_TEXT, text_lit)
         else:
-            import hashlib
-            digests = [hashlib.sha256((x or '').encode('utf-8')).hexdigest()
-                       for x in t['text'].to_pylist()]
             emit('p_digest', SCHEMA_SHA256,
                  pa.array([f'"{d}"' for d in digests], pa.large_string()))
 
@@ -142,17 +163,7 @@ class TripleEmitKernel:
         score_lit = [f'"{v:.4f}"' for v in score.to_pylist()]
         emit('p_quality', SCHEMA_QUALITY, pa.array(score_lit, pa.large_string()))
 
-        # --- mention detection + canonicalization ---
-        m_subj, m_obj = [], []
-        subj_py = subj.to_pylist()
-        for i, text in enumerate(t['text'].to_pylist()):
-            seen = set()
-            for m in self.mention_rx.finditer(text or ''):
-                iri = self.canon[m.group(1)]
-                if iri not in seen:
-                    seen.add(iri)
-                    m_subj.append(subj_py[i])
-                    m_obj.append(f'<{iri}>')
+        # --- mention triples (collected in the single text pass above) ---
         if m_subj:
             parts.append(pa.array(['p_mentions'] * len(m_subj), pa.string()))
             subjects.append(pa.array(m_subj, pa.large_string()))
@@ -183,41 +194,19 @@ def web_kg_triples(pages: ray.data.Dataset, gazetteer: dict[str, str] | None = N
 def write_web_kg(pages: ray.data.Dataset, out_dir: str, resume: bool = True,
                  **kwargs) -> dict:
     """Materialize to the resumable partitioned layout: rows carry their
-    mapping-partition label, so the sink writes one directory per partition
-    with a manifest (failed partitions re-execute idempotently)."""
+    mapping-partition label and each TASK writes its own block's shards into
+    ``part=<p>/shard_<uuid>.nt`` (no triple payload ever reaches the driver);
+    the manifest is committed after with an atomic rename, so a failed run
+    resumes idempotently."""
+    from ..sinks.writers import write_partition_column_ntriples
+
     import json
     import os
-    import shutil
 
-    triples = web_kg_triples(pages, **kwargs)
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, '_MANIFEST.json')
     if resume and os.path.exists(manifest_path):
         with open(manifest_path, encoding='utf-8') as f:
             return json.load(f)
-
-    tmp = out_dir + '.tmp'
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp)
-    counts: dict[str, int] = {}
-    shard = 0
-    for batch in triples.iter_batches(batch_size=1 << 20, batch_format='pyarrow'):
-        by_part: dict[str, list[str]] = {}
-        tr = ljoin(batch['subject'].combine_chunks(), batch['predicate'].combine_chunks(),
-                   batch['object'].combine_chunks(), sep=' ')
-        for part, line in zip(batch['partition'].to_pylist(), tr.to_pylist()):
-            by_part.setdefault(part, []).append(line)
-        for part, lines in by_part.items():
-            pdir = os.path.join(tmp, f'part={part}')
-            os.makedirs(pdir, exist_ok=True)
-            with open(os.path.join(pdir, f'shard_{shard:05d}.nt'), 'w', encoding='utf-8') as f:
-                for line in lines:
-                    f.write(f'{line} .\n')
-            counts[part] = counts.get(part, 0) + len(lines)
-        shard += 1
-    report = {'partitions': counts, 'total': sum(counts.values())}
-    with open(os.path.join(tmp, '_MANIFEST.json'), 'w', encoding='utf-8') as f:
-        json.dump(report, f)
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.replace(tmp, out_dir)
-    return report
+    triples = web_kg_triples(pages, **kwargs)
+    return write_partition_column_ntriples(triples, out_dir, resume=resume)
