@@ -58,6 +58,7 @@ def ensure_hash_shuffle() -> bool:
         ctx.default_hash_shuffle_parallelism = max(8, ncpu)
         ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
         ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.01
+        ctx.join_operator_actor_num_cpus_per_partition_override = 0.01
         return True
     except Exception:
         return False

@@ -159,41 +159,67 @@ def minhash_lsh_candidates(ds: ray.data.Dataset, id_col: str = 'doc_id', num_per
 
 
 def minhash_dedup_clusters(ds: ray.data.Dataset, id_col: str = 'doc_id', text_col: str = 'text',
-                           num_perm: int = 64, bands: int = 16, rounds: int = 3) -> ray.data.Dataset:
+                           num_perm: int = 64, bands: int = 16, rounds: int = 3,
+                           verify_threshold: 'float | None' = 0.5,
+                           num_partitions: int = 16) -> ray.data.Dataset:
     """Assign each involved doc a cluster label = min reachable doc id, by a
-    few rounds of min-label propagation over the candidate-pair graph (keyed
-    groupbys; no driver-side union-find)."""
+    few rounds of min-label propagation over the verified candidate-pair
+    graph.  Everything stays in the data plane: candidate pairs are verified
+    by a bucketed JOIN against the doc texts (no corpus broadcast) and each
+    propagation round is one keyed join + groupby-min (no driver-side label
+    map — the round-1 dict-broadcast design would OOM the driver at 100 TB)."""
     pairs = minhash_lsh_candidates(ds, id_col=id_col, num_perm=num_perm, bands=bands,
-                                   text_col=text_col).materialize()
+                                   text_col=text_col)
+    if verify_threshold is not None:
+        # drop LSH false positives before they merge unrelated clusters
+        pairs = verify_pairs_jaccard(pairs, ds, id_col=id_col, text_col=text_col,
+                                     threshold=verify_threshold,
+                                     num_partitions=num_partitions)
+    pairs = pairs.select_columns(['id_a', 'id_b']).materialize()
 
-    # edges both directions: (node, neighbor_label)
+    # directed edges both ways: (node, nbr).  Empty blocks can arrive
+    # schema-less out of groupby/filter stages; rebuild them schema-complete
+    # so the acero hash join always sees its key columns.
     def both_dirs(t: pa.Table) -> pa.Table:
-        a = t['id_a']
-        b = t['id_b']
-        return pa.table({'node': pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
-                         'label': pa.concat_arrays([b.combine_chunks(), a.combine_chunks()])})
+        if t.num_rows == 0 or 'id_a' not in t.column_names:
+            e = pa.array([], pa.int64())
+            return pa.table({'node': e, 'nbr': e})
+        a = t['id_a'].combine_chunks()
+        b = t['id_b'].combine_chunks()
+        return pa.table({'node': pa.concat_arrays([a, b]), 'nbr': pa.concat_arrays([b, a])})
 
-    labels = pairs.map_batches(both_dirs, batch_format='pyarrow') \
-                  .groupby('node').min('label')
-    labels = labels.map_batches(lambda t: t.rename_columns(['node', 'label']), batch_format='pyarrow')
+    # the coalescing repartition restores the dataset-level schema (empty
+    # schema-less blocks would make the join build schema-less partitions)
+    edges = pairs.map_batches(both_dirs, batch_format='pyarrow') \
+                 .repartition(num_partitions).materialize()
+
+    def _as_labels(t: pa.Table) -> pa.Table:
+        if t.num_columns != 2:
+            e = pa.array([], pa.int64())
+            return pa.table({'node': e, 'label': e})
+        return t.rename_columns(['node', 'label'])
+
+    labels = edges.groupby('node').min('nbr') \
+                  .map_batches(_as_labels, batch_format='pyarrow') \
+                  .map_batches(lambda t: t.set_column(
+                      1, 'label', pc.min_element_wise(t['node'], t['label'])),
+                      batch_format='pyarrow')
 
     for _ in range(rounds - 1):
-        lab = labels.materialize()
-        lab_pd = lab.to_pandas()  # label maps are small relative to corpus
-        import ray as _ray
-        ref = _ray.put(dict(zip(lab_pd['node'], lab_pd['label'])))
-
-        def relabel(t: pa.Table, ref=ref) -> pa.Table:
-            import ray as _r
-            mapping = _r.get(ref)
-            lab_np = np.array([min(mapping.get(n, n), mapping.get(l, l))
-                               for n, l in zip(t['node'].to_pylist(), t['label'].to_pylist())])
-            return pa.table({'node': t['node'], 'label': pa.array(lab_np, t['label'].type)})
-
-        labels = lab.map_batches(relabel, batch_format='pyarrow') \
-                    .groupby('node').min('label')
-        labels = labels.map_batches(lambda t: t.rename_columns(['node', 'label']),
-                                    batch_format='pyarrow')
+        labels = labels.materialize()
+        # neighbor's current label: edges ⋈ labels on nbr  -> (node, label)
+        def _as_rhs(t: pa.Table) -> pa.Table:
+            if t.num_columns != 2:
+                e = pa.array([], pa.int64())
+                return pa.table({'__lnode': e, 'label': e})
+            return t.rename_columns(['__lnode', 'label'])
+        rhs = labels.map_batches(_as_rhs, batch_format='pyarrow').repartition(num_partitions)
+        nbr_labels = edges.join(rhs, 'inner', num_partitions,
+                                on=('nbr',), right_on=('__lnode',)) \
+                          .select_columns(['node', 'label'])
+        labels = nbr_labels.union(labels.select_columns(['node', 'label'])) \
+                           .groupby('node').min('label') \
+                           .map_batches(_as_labels, batch_format='pyarrow')
 
     def rename(t: pa.Table) -> pa.Table:
         return t.rename_columns([id_col, 'cluster_id'])
@@ -248,24 +274,38 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
 
 
 def verify_pairs_jaccard(pairs: ray.data.Dataset, docs: ray.data.Dataset, id_col: str = 'doc_id',
-                         text_col: str = 'text', threshold: float = 0.8) -> ray.data.Dataset:
-    """Filter candidate pairs by exact n-gram Jaccard.  The docs' texts are
-    broadcast once (dimension-style lookup) — at larger scale, swap for a
-    bucketed join on id."""
-    import ray as _ray
-    docs_pd = docs.select_columns([id_col, text_col]).to_pandas()
-    ref = _ray.put(dict(zip(docs_pd[id_col], docs_pd[text_col])))
+                         text_col: str = 'text', threshold: float = 0.8,
+                         num_partitions: int = 16) -> ray.data.Dataset:
+    """Filter candidate pairs by exact n-gram Jaccard via two hash-partitioned
+    joins against the doc texts (pairs ⋈ docs on id_a, then on id_b) — texts
+    travel only to the pairs that need them, so this scales with the
+    CANDIDATE volume rather than broadcasting the whole corpus."""
+    docs = docs.select_columns([id_col, text_col])
+    side_a = docs.map_batches(lambda t: t.rename_columns(['id_a', '__text_a']),
+                              batch_format='pyarrow')
+    side_b = docs.map_batches(lambda t: t.rename_columns(['id_b', '__text_b']),
+                              batch_format='pyarrow')
 
-    def fn(t: pa.Table) -> pa.Table:
-        texts = _ray.get(ref)
-        keep_a, keep_b, sims = [], [], []
-        for x, y in zip(t['id_a'].to_pylist(), t['id_b'].to_pylist()):
-            s = ngram_jaccard(texts.get(x, ''), texts.get(y, ''))
-            if s >= threshold:
-                keep_a.append(x)
-                keep_b.append(y)
-                sims.append(s)
-        return pa.table({'id_a': pa.array(keep_a, pa.int64()), 'id_b': pa.array(keep_b, pa.int64()),
-                         'jaccard': pa.array(sims, pa.float64())})
+    def _norm_pairs(t: pa.Table) -> pa.Table:
+        # schema-less empty blocks (groupby on empty partitions) would break
+        # the join's key-field resolution; rebuild schema-complete (int64 ids)
+        if t.num_rows == 0 or 'id_a' not in t.column_names:
+            e = pa.array([], pa.int64())
+            return pa.table({'id_a': e, 'id_b': e})
+        return t.select(['id_a', 'id_b'])
 
-    return pairs.map_batches(fn, batch_format='pyarrow')
+    # coalesce after the normalization: restores the dataset-level schema that
+    # schema-less empty blocks destroyed (the join op builds its empty
+    # partitions from it, and acero errors on missing key fields otherwise)
+    pairs = pairs.map_batches(_norm_pairs, batch_format='pyarrow').repartition(num_partitions)
+    j = pairs.join(side_a, 'inner', num_partitions, on=('id_a',))
+    j = j.join(side_b, 'inner', num_partitions, on=('id_b',))
+
+    def score(t: pa.Table) -> pa.Table:
+        sims = pa.array([ngram_jaccard(a or '', b or '')
+                         for a, b in zip(t['__text_a'].to_pylist(), t['__text_b'].to_pylist())],
+                        pa.float64())
+        t = t.drop_columns(['__text_a', '__text_b']).append_column('jaccard', sims)
+        return t.filter(pc.greater_equal(sims, threshold))
+
+    return j.map_batches(score, batch_format='pyarrow')

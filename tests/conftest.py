@@ -5,6 +5,8 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import morph_kgc_ray  # noqa: E402,F401  (sets the hash-shuffle DataContext before any Dataset is created)
+
 
 @pytest.fixture(scope='session')
 def ray_session():
