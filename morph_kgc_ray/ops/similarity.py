@@ -89,14 +89,81 @@ def brute_force_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: np.nd
                      'score': pa.array(rows_s, pa.float64())})
 
 
-def ivf_assign(ds: ray.data.Dataset, num_centroids: int = 16, seed: int = 42,
-               id_col: str = 'vec_id', vec_col: str = 'embedding') -> tuple:
-    """Assign each vector to its nearest centroid (one matmul per batch).
+def _hash_sample(ds: ray.data.Dataset, id_col: str, vec_col: str,
+                 n_sample: int, seed: int) -> np.ndarray:
+    """Deterministic distributed sample of ~n_sample vectors: keep rows whose
+    Knuth-hashed id falls under the sampling threshold (uniform over ids, no
+    sort, no first-N bias; each task filters its own batch)."""
+    n = ds.count()
+    frac = min(1.0, (1.25 * n_sample) / max(1, n))
+    cutoff = np.uint64(int(frac * float(1 << 32)))
+    mult = np.uint64(2654435761)
+    s = np.uint64(seed)
 
-    Centroids = deterministic sample of the dataset (seeded take).  Returns
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((ids + s) * mult) & np.uint64(0xFFFFFFFF)
+        return t.filter(pa.array(h < cutoff))
+
+    sampled = ds.map_batches(keep, batch_format='pyarrow') \
+                .select_columns([vec_col]).take_all()
+    V = np.asarray([r[vec_col] for r in sampled], dtype=np.float32)
+    return V[:max(n_sample, 1)]
+
+
+def kmeans_centroids(ds: ray.data.Dataset, num_centroids: int = 16, iters: int = 3,
+                     seed: int = 42, id_col: str = 'vec_id',
+                     vec_col: str = 'embedding') -> np.ndarray:
+    """Spherical k-means centroids: seeded hash-sample init + ``iters`` Lloyd
+    rounds where each batch emits only its (C x d) partial sums and counts —
+    the full dataset never leaves the tasks, the driver reduces C x d x
+    num_blocks floats (tiny)."""
+    sample = _hash_sample(ds, id_col, vec_col, n_sample=max(50 * num_centroids, 256), seed=seed)
+    rng = np.random.RandomState(seed)
+    if len(sample) < num_centroids:  # degenerate tiny input
+        reps = int(np.ceil(num_centroids / max(1, len(sample))))
+        sample = np.tile(sample, (reps, 1))
+    C = _normalize(sample[rng.permutation(len(sample))[:num_centroids]].astype(np.float64))
+
+    for _ in range(iters):
+        cref = ray.put(C.astype(np.float32))
+
+        def partial(t: pa.Table) -> pa.Table:
+            cents = ray.get(cref)
+            V = _normalize(np.asarray(t[vec_col].to_pylist(), dtype=np.float32))
+            if len(V) == 0:
+                z = np.zeros_like(cents, dtype=np.float64)
+                return pa.table({'cid': pa.array(np.arange(len(cents), dtype=np.int32)),
+                                 'psum': pa.array(list(z), pa.list_(pa.float64())),
+                                 'count': pa.array(np.zeros(len(cents), dtype=np.int64))})
+            cid = (V @ cents.T).argmax(axis=1)
+            onehot = np.zeros((len(V), len(cents)), dtype=np.float64)
+            onehot[np.arange(len(V)), cid] = 1.0
+            sums = onehot.T @ V.astype(np.float64)          # (C, d)
+            counts = onehot.sum(axis=0).astype(np.int64)    # (C,)
+            return pa.table({'cid': pa.array(np.arange(len(cents), dtype=np.int32)),
+                             'psum': pa.array(list(sums), pa.list_(pa.float64())),
+                             'count': pa.array(counts)})
+
+        acc = np.zeros_like(C)
+        cnt = np.zeros(len(C), dtype=np.int64)
+        for r in ds.map_batches(partial, batch_format='pyarrow').take_all():
+            acc[r['cid']] += np.asarray(r['psum'])
+            cnt[r['cid']] += r['count']
+        nonempty = cnt > 0
+        C[nonempty] = _normalize(acc[nonempty] / cnt[nonempty, None])
+        # empty centroids keep their previous position (spherical k-means)
+    return C.astype(np.float32)
+
+
+def ivf_assign(ds: ray.data.Dataset, num_centroids: int = 16, seed: int = 42,
+               id_col: str = 'vec_id', vec_col: str = 'embedding',
+               kmeans_iters: int = 3) -> tuple:
+    """Assign each vector to its nearest k-means centroid (one matmul per
+    batch against the ray.put-broadcast centroid matrix).  Returns
     (assigned_ds with 'centroid_id' column, centroids ndarray)."""
-    sample = ds.limit(num_centroids).to_pandas()
-    C = _normalize(np.asarray(sample[vec_col].tolist(), dtype=np.float32))
+    C = kmeans_centroids(ds, num_centroids=num_centroids, iters=kmeans_iters,
+                         seed=seed, id_col=id_col, vec_col=vec_col)
     cref = ray.put(C)
 
     def assign(t: pa.Table) -> pa.Table:
@@ -106,6 +173,41 @@ def ivf_assign(ds: ray.data.Dataset, num_centroids: int = 16, seed: int = 42,
         return t.append_column('centroid_id', pa.array(cid))
 
     return ds.map_batches(assign, batch_format='pyarrow'), C
+
+
+def ivf_build(ds: ray.data.Dataset, index_dir: str, num_centroids: int = 16,
+              seed: int = 42, id_col: str = 'vec_id', vec_col: str = 'embedding') -> np.ndarray:
+    """Materialize the IVF layout: vectors written as Parquet partitioned by
+    ``centroid_id`` (one directory per bucket) so probes prune at the READ —
+    a query touching nprobe buckets scans only those directories.  Returns
+    the centroid matrix; persist it next to the index."""
+    import json
+    import os
+    assigned, C = ivf_assign(ds, num_centroids=num_centroids, seed=seed,
+                             id_col=id_col, vec_col=vec_col)
+    assigned.write_parquet(index_dir, partition_cols=['centroid_id'])
+    with open(os.path.join(index_dir, '_CENTROIDS.json'), 'w', encoding='utf-8') as f:
+        json.dump(C.tolist(), f)
+    return C
+
+
+def ivf_probe(index_dir: str, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+              nprobe: int = 4, id_col: str = 'vec_id', vec_col: str = 'embedding') -> pa.Table:
+    """Search a built IVF layout: read ONLY the nprobe bucket directories
+    nearest each query (partition pruning at the read), then exact top-k."""
+    import json
+    import os
+    import ray.data as rd
+    with open(os.path.join(index_dir, '_CENTROIDS.json'), encoding='utf-8') as f:
+        C = np.asarray(json.load(f), dtype=np.float32)
+    Q = _normalize(np.asarray(queries, dtype=np.float32))
+    probes = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+    wanted = sorted({int(c) for row in probes for c in row})
+    import glob
+    paths = [f for c in wanted
+             for f in sorted(glob.glob(os.path.join(index_dir, f'centroid_id={c}', '*.parquet')))]
+    ds = rd.read_parquet(paths, columns=[id_col, vec_col])
+    return brute_force_topk(ds, queries, query_ids, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,

@@ -70,6 +70,28 @@ def test_brute_force_topk_matches_numpy(ray_session):
         assert got == expected
 
 
+def test_ivf_build_probe_recall(ray_session, tmp_path):
+    import ray.data as rd
+    from morph_kgc_ray.ops.similarity import brute_force_topk, ivf_build, ivf_probe
+    rng = np.random.default_rng(3)
+    # clustered data so k-means has real structure to find
+    centers = rng.normal(size=(6, 16)).astype(np.float32) * 4
+    V = np.concatenate([centers[i % 6] + rng.normal(size=16).astype(np.float32)
+                        for i in range(300)]).reshape(300, 16)
+    ds = rd.from_items([{'vec_id': i, 'embedding': V[i].tolist()} for i in range(300)])
+    exact = brute_force_topk(ds, V[:4], np.arange(4), k=10)
+    idx = str(tmp_path / 'ivf')
+    ivf_build(ds, idx, num_centroids=6)
+    approx = ivf_probe(idx, V[:4], np.arange(4), k=10, nprobe=2)
+    want, got = {}, {}
+    for q, n in zip(exact['query_id'].to_pylist(), exact['neighbor_id'].to_pylist()):
+        want.setdefault(q, set()).add(n)
+    for q, n in zip(approx['query_id'].to_pylist(), approx['neighbor_id'].to_pylist()):
+        got.setdefault(q, set()).add(n)
+    recall = np.mean([len(want[q] & got.get(q, set())) / len(want[q]) for q in want])
+    assert recall >= 0.9
+
+
 def test_lang_id(ray_session):
     import ray.data as rd
     from morph_kgc_ray.ops.text import lang_id
