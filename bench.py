@@ -78,6 +78,7 @@ def main() -> None:
     import ray.data as rd
 
     from morph_kgc_ray.pipelines.benchmarks import QUERIES
+    from morph_kgc_ray.sources.readers import read_parquet_clean
     from morph_kgc_ray.pipelines.pages import pages_parquet_dir
     from morph_kgc_ray.pipelines.web import web_kg_triples
 
@@ -85,10 +86,10 @@ def main() -> None:
     # fixed shard count so every parallelism level reads the IDENTICAL input
     pages_dir = pages_parquet_dir(HEADLINE_ROWS, num_files=32)
     # warm the OS page cache so we measure compute + shuffle, not cold disk
-    rd.read_parquet(pages_dir, columns=['url']).count()
+    read_parquet_clean(pages_dir, columns=['url']).count()
 
     t0 = time.time()
-    pages = rd.read_parquet(pages_dir, columns=['url', 'warc_ts', 'html', 'lang'])
+    pages = read_parquet_clean(pages_dir, columns=['url', 'warc_ts', 'html', 'lang'])
     triples = web_kg_triples(pages, concurrency=max(2, int(NUM_CPUS * 0.6)), batch_size=512)
     n_triples = triples.count()
     headline_sec = time.time() - t0

@@ -35,7 +35,9 @@ def materialize_kafka(config, python_source=None, **kafka_kwargs):
     n = 0
     for batch in materialize_dataset(config, python_source).iter_batches(
             batch_size=65536, batch_format='pyarrow'):
-        payload = '.\n'.join(batch['triple'].to_pylist())
+        # every triple gets its own ' .' terminator so each message is a
+        # complete N-Triples/N-Quads document (reference materialize_kafka)
+        payload = ' .\n'.join(batch['triple'].to_pylist()) + ' .'
         producer.send(topic, payload.encode('utf-8'))
         n += batch.num_rows
     producer.flush()

@@ -36,6 +36,7 @@ from ..constants import (
     RML_TEMPLATE,
     XSD_BOOLEAN,
     XSD_DATETIME,
+    XSD_DOUBLE,
     XSD_INTEGER,
 )
 
@@ -157,16 +158,56 @@ def escape_literal_array(arr: pa.Array) -> pa.Array:
     return arr
 
 
-def natural_mapping_array(arr: pa.Array, datatype: str) -> pa.Array:
-    """R2RML natural mapping of SQL values (materializer.py:134-141)."""
+def xsd_canonical_double(value: str) -> str:
+    """XSD 1.1 canonical lexical form of xsd:double ("80.25" -> "8.025E1",
+    "30" -> "3.0E1") — mantissa in [1,10) with no trailing zeros (but at
+    least one fraction digit), exponent with no sign/leading zeros."""
+    from decimal import Decimal, InvalidOperation
+    try:
+        f = float(value)
+    except (TypeError, ValueError):
+        return value
+    if f != f:
+        return 'NaN'
+    if f in (float('inf'), float('-inf')):
+        return 'INF' if f > 0 else '-INF'
+    if f == 0:
+        return '-0.0E0' if str(f)[0] == '-' else '0.0E0'
+    try:
+        d = Decimal(repr(f))
+    except InvalidOperation:  # pragma: no cover
+        return value
+    sign, digits, exp = d.as_tuple()
+    digs = ''.join(map(str, digits)).rstrip('0') or '0'
+    e = len(digits) - 1 + exp
+    mant = digs[0] + '.' + (digs[1:] or '0')
+    return ('-' if sign else '') + mant + 'E' + str(e)
+
+
+def natural_mapping_array(arr: pa.Array, datatype: str, inferred: bool = False) -> pa.Array:
+    """R2RML natural mapping of SQL values (materializer.py:134-141).
+
+    ``inferred`` marks datatypes that came from SQL-type inference
+    (infer_sql_datatypes): those additionally canonicalize 0/1 booleans and
+    doubles (W3C natural-mapping lexical forms); explicitly declared
+    datatypes keep the reference's narrower conversions."""
     if datatype == XSD_BOOLEAN:
-        return pc.utf8_lower(arr)
+        low = pc.utf8_lower(arr)
+        if inferred:
+            # sqlite stores booleans as 0/1 integers
+            low = pc.replace_substring_regex(low, r'^1(\.0)?$', 'true')
+            low = pc.replace_substring_regex(low, r'^0(\.0)?$', 'false')
+        return low
     if datatype == XSD_DATETIME:
         return pc.replace_substring(arr, ' ', 'T')
     if datatype == XSD_INTEGER:
         floats = pc.cast(arr, pa.float64())
         ints = pc.cast(floats, pa.int64(), safe=False)  # truncates toward zero like astype(int)
         return pc.cast(ints, pa.large_string())
+    if datatype == XSD_DOUBLE and inferred:
+        vals = arr.to_pylist()  # cold path: only RDB natural-mapped doubles
+        return pa.array([None if v is None else xsd_canonical_double(v) for v in vals],
+                        pa.large_string())
     return arr
 
 
@@ -194,6 +235,7 @@ class TermPlan:
     termtype: str = ''                  # RML_IRI / RML_LITERAL / RML_BLANK_NODE / '' (lang/datatype raw)
     map_type: str = ''                  # original map type (template/constant/reference)
     datatype: str = ''                  # effective datatype for natural mapping
+    inferred_datatype: bool = False     # datatype came from SQL-type inference
     columns_alias: str = ''             # 'parent_' when materializing from a join
     only_printable: bool = False
     safe_encoding: str = ''             # non-empty -> urllib quote with this safe set
@@ -206,7 +248,8 @@ class TermPlan:
 
 def compile_term_plan(map_type: str, map_value: str, position: str, termtype: str = '',
                       datatype: str = '', columns_alias: str = '', only_printable: bool = False,
-                      safe_encoding: str = '', base_iri: str = '') -> TermPlan:
+                      safe_encoding: str = '', base_iri: str = '',
+                      inferred_datatype: bool = False) -> TermPlan:
     """Compile (map_type, map_value, termtype) into a TermPlan.
 
     Constants behave as zero-reference templates and references as
@@ -239,7 +282,8 @@ def compile_term_plan(map_type: str, map_value: str, position: str, termtype: st
 
     return TermPlan(position=position, segments=tuple(merged), termtype=tt, map_type=map_type,
                     datatype=datatype or '', columns_alias=columns_alias,
-                    only_printable=only_printable, safe_encoding=safe_encoding, base_iri=base_iri)
+                    only_printable=only_printable, safe_encoding=safe_encoding, base_iri=base_iri,
+                    inferred_datatype=inferred_datatype)
 
 
 def _process_reference(col: pa.Array, plan: TermPlan) -> pa.Array:
@@ -254,7 +298,7 @@ def _process_reference(col: pa.Array, plan: TermPlan) -> pa.Array:
         else:
             col = percent_encode_array(col)
     elif plan.termtype == RML_LITERAL:
-        col = natural_mapping_array(col, plan.datatype)
+        col = natural_mapping_array(col, plan.datatype, inferred=plan.inferred_datatype)
         col = escape_literal_array(col)
     return col
 

@@ -114,6 +114,7 @@ def _nn(value, default=''):
 def _plan_for_position(rule, position: str, config: Config, columns_alias: str = ''):
     map_type = rule[f'{position}_map_type']
     map_value = rule[f'{position}_map_value']
+    inferred = False
     if position == 'subject':
         termtype = _nn(rule['subject_termtype'])
         datatype = ''
@@ -122,9 +123,16 @@ def _plan_for_position(rule, position: str, config: Config, columns_alias: str =
         datatype = ''
     elif position == 'object':
         termtype = _nn(rule['object_termtype'])
-        # reference passes lang_datatype_map_value as-is; non-XSD values
+        # a datatype from SQL-type inference (infer_sql_datatypes) drives the
+        # canonical lexical form even when no ^^ suffix is emitted; an
+        # explicit mapping datatype passes through as-is and non-XSD values
         # simply match no natural-mapping branch (materializer.py:222)
-        datatype = rule['lang_datatype_map_value'] if pd.notna(rule['lang_datatype_map_value']) else ''
+        inferred_dt = rule['inferred_datatype'] if 'inferred_datatype' in rule else None
+        if pd.notna(inferred_dt) and inferred_dt:
+            datatype = inferred_dt
+            inferred = True
+        else:
+            datatype = rule['lang_datatype_map_value'] if pd.notna(rule['lang_datatype_map_value']) else ''
     elif position == 'graph':
         termtype = RML_IRI
         datatype = ''
@@ -136,7 +144,8 @@ def _plan_for_position(rule, position: str, config: Config, columns_alias: str =
         columns_alias=columns_alias if position == 'object' else '',
         only_printable=config.only_write_printable_characters(),
         safe_encoding=config.get_safe_percent_encoding(),
-        base_iri=_nn(rule.get('base_iri') if hasattr(rule, 'get') else ''))
+        base_iri=_nn(rule.get('base_iri') if hasattr(rule, 'get') else ''),
+        inferred_datatype=inferred)
 
 
 def make_term_stage(rule, fnml_df, config: Config, columns_alias: str = '',
@@ -221,26 +230,50 @@ class _BroadcastJoin:
     """Inner join against a broadcast parent table inside map_batches.
 
     Used when the parent side (a projected+deduped dimension) is small: the
-    parent pandas table is put in the object store ONCE (ray.put) and read by
+    parent Arrow table is put in the object store ONCE (ray.put) and read by
     every task, never re-shipped per batch.  Duplicate join keys multiply
     rows (cross product), matching pandas merge semantics in _merge_data
-    (materializer.py:896-907)."""
+    (materializer.py:896-907); the acero hash join stays zero-copy Arrow."""
 
     def __init__(self, parent_ref, child_keys, parent_keys):
         self.parent_ref = parent_ref
         self.child_keys = list(child_keys)
         self.parent_keys = list(parent_keys)
-        self._parent_df = None
+        self._parent = None
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        if self._parent_df is None:
-            self._parent_df = ray.get(self.parent_ref)
-        return batch.merge(self._parent_df, how='inner',
-                           left_on=self.child_keys, right_on=self.parent_keys)
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._parent is None:
+            self._parent = ray.get(self.parent_ref)
+        if batch.num_rows == 0 or not set(self.child_keys) <= set(batch.column_names):
+            cols = {c: pa.array([], pa.large_string())
+                    for c in list(batch.column_names) + self.parent_keys}
+            for c in self._parent.column_names:
+                cols.setdefault(c, pa.array([], pa.large_string()))
+            return pa.table(cols)
+        # acero needs equal key types on both sides
+        for k, pk in zip(self.child_keys, self.parent_keys):
+            want = self._parent.schema.field(pk).type
+            if batch.schema.field(k).type != want:
+                batch = batch.set_column(batch.column_names.index(k), k,
+                                         batch[k].cast(want))
+        out = batch.join(self._parent, keys=self.child_keys,
+                         right_keys=self.parent_keys, join_type='inner')
+        # acero drops the right key columns; downstream parent term plans
+        # reference them, and in an inner equi-join they equal the child keys
+        for k, pk in zip(self.child_keys, self.parent_keys):
+            if pk not in out.column_names:
+                out = out.append_column(pk, out[k])
+        return out
 
 
 def merge_datasets(child_ds, parent_ds, join_conditions: str, config: Config):
-    """Inner equi-join; parent columns arrive prefixed ``parent_``."""
+    """Inner equi-join; parent columns arrive prefixed ``parent_``.
+
+    Side selection: probe the parent with ``limit(cap+1)`` — the streaming
+    executor short-circuits, so a huge parent is never fully materialized
+    just to discover it is huge.  Small parents broadcast (ray.put once,
+    read per task); large parents go through the hash-partitioned
+    distributed join."""
     jcs = eval(join_conditions)  # noqa: S307
     child_keys = [c['child_value'] for c in jcs.values()]
     parent_keys = ['parent_' + c['parent_value'] for c in jcs.values()]
@@ -250,19 +283,24 @@ def merge_datasets(child_ds, parent_ds, join_conditions: str, config: Config):
 
     parent_ds = parent_ds.map_batches(prefix_parent, batch_format='pyarrow')
 
-    parent_mat = parent_ds.materialize()
-    n_parent = parent_mat.count()
-    if n_parent <= config.get_broadcast_join_max_rows():
-        parent_df = parent_mat.to_pandas()
+    cap = config.get_broadcast_join_max_rows()
+    probe = parent_ds.limit(cap + 1).materialize()
+    if probe.count() <= cap:
+        parent_tbl = pa.concat_tables(
+            [b for b in probe.iter_batches(batch_size=None, batch_format='pyarrow')
+             if b.num_columns], promote_options='permissive') \
+            if probe.count() else pa.table({})
         for k in parent_keys:  # empty parent datasets lose their schema
-            if k not in parent_df.columns:
-                parent_df[k] = pd.Series(dtype=object)
-        ref = ray.put(parent_df)
+            if k not in parent_tbl.column_names:
+                parent_tbl = parent_tbl.append_column(
+                    k, pa.nulls(parent_tbl.num_rows, pa.large_string()))
+        ref = ray.put(parent_tbl)
         return child_ds.map_batches(_BroadcastJoin(ref, child_keys, parent_keys),
-                                    batch_format='pandas')
+                                    batch_format='pyarrow')
     # large parent: hash-partitioned distributed join keyed on the join refs
+    # (parent re-executes and streams into the join, never driver-collected)
     num_partitions = max(16, config.get_dedup_partitions() or 16)
-    return child_ds.join(parent_mat, 'inner', num_partitions,
+    return child_ds.join(parent_ds, 'inner', num_partitions,
                          on=tuple(child_keys), right_on=tuple(parent_keys))
 
 

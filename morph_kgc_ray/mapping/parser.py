@@ -15,6 +15,7 @@ is metadata-scale and is shipped to Ray tasks by closure capture.
 from __future__ import annotations
 
 import os
+import re
 
 import pandas as pd
 
@@ -523,6 +524,87 @@ def _complete_source_types(rml_df: pd.DataFrame, config: Config) -> pd.DataFrame
     return rml_df.drop(columns='reference_formulation')
 
 
+# SQL declared type -> RDF datatype for the R2RML natural mapping
+# (spec constant table; reference relational_db.py:18-57)
+_SQL_RDF_DATATYPE = {
+    'BINARY': XSD_HEX_BINARY, 'VARBINARY': XSD_HEX_BINARY, 'BLOB': XSD_HEX_BINARY,
+    'BFILE': XSD_HEX_BINARY, 'RAW': XSD_HEX_BINARY, 'LONG RAW': XSD_HEX_BINARY,
+    'INTEGER': XSD_INTEGER, 'INT': XSD_INTEGER, 'SMALLINT': XSD_INTEGER,
+    'INT8': XSD_INTEGER, 'INT4': XSD_INTEGER, 'BIGINT': XSD_INTEGER,
+    'BIGSERIAL': XSD_INTEGER, 'SMALLSERIAL': XSD_INTEGER, 'INT2': XSD_INTEGER,
+    'SERIAL2': XSD_INTEGER, 'SERIAL4': XSD_INTEGER, 'SERIAL8': XSD_INTEGER,
+    'DECIMAL': XSD_DECIMAL, 'NUMERIC': XSD_DECIMAL,
+    'FLOAT': XSD_DOUBLE, 'FLOAT8': XSD_DOUBLE, 'REAL': XSD_DOUBLE,
+    'DOUBLE': XSD_DOUBLE, 'DOUBLE PRECISION': XSD_DOUBLE, 'NUMBER': XSD_DOUBLE,
+    'BOOL': XSD_BOOLEAN, 'TINYINT': XSD_BOOLEAN, 'BOOLEAN': XSD_BOOLEAN,
+    'DATE': XSD_DATE, 'TIME': XSD_TIME, 'DATETIME': XSD_DATETIME,
+    'TIMESTAMP': XSD_DATETIME,
+}
+
+
+def _sqlite_column_type(db_path: str, table: str, column: str) -> 'str | None':
+    """DECLARED column type from sqlite metadata.  (The reference's sqlite
+    branch runs typeof('col') — typeof of a string literal — so it never
+    infers anything, relational_db.py:102; PRAGMA table_info is the correct
+    sqlite analogue of information_schema.)"""
+    import sqlite3
+    con = sqlite3.connect(db_path)
+    try:
+        for row in con.execute(f'PRAGMA table_info("{table}")'):
+            if row[1] == column:
+                return (row[2] or '').upper() or None
+    finally:
+        con.close()
+    return None
+
+
+def _infer_sql_datatypes(rml_df: pd.DataFrame, config: Config) -> pd.DataFrame:
+    """R2RML natural-mapping datatype inference for relational sources
+    (W3C R2RML §10.2; reference mapping_parser.py:682-721), gated on the
+    ``infer_sql_datatypes`` config flag.  Applies to literal object
+    REFERENCES without an explicit language/datatype.  The inferred datatype
+    drives the value's canonical lexical form; xsd:double stays unannotated
+    (matching the corpus goldens) while the other types also gain the ^^
+    annotation."""
+    rml_df = rml_df.copy()
+    rml_df['inferred_datatype'] = None
+    if not config.infer_sql_datatypes():
+        return rml_df
+    for i, rule in rml_df.iterrows():
+        if rule['source_type'] != RDB or rule['object_map_type'] != RML_REFERENCE \
+                or str(rule['object_termtype']) != RML_LITERAL or pd.notna(rule['lang_datatype']):
+            continue
+        db_url = config.get_db_url(rule['source_name']) if config.has_db_url(rule['source_name']) else ''
+        if not db_url.startswith('sqlite'):
+            continue  # other dialects need their drivers (information_schema path)
+        db_path = db_url.split('///', 1)[-1]
+        column = _undelimit(str(rule['object_map_value']))
+        if rule['logical_source_type'] == RML_TABLE_NAME:
+            tables = [_undelimit(str(rule['logical_source_value']))]
+        else:  # rml:query — try every table named in the query
+            tables = re.findall(r'(?:FROM|JOIN)\s+["`]?([A-Za-z_][\w$]*)',
+                                str(rule['logical_source_value']), re.IGNORECASE)
+        decl = None
+        for table in tables:
+            decl = _sqlite_column_type(db_path, table, column)
+            if decl:
+                break
+        if not decl:
+            continue
+        # longest key first so TIMESTAMP/DATETIME win over their TIME substring
+        datatype = next((_SQL_RDF_DATATYPE[k]
+                         for k in sorted(_SQL_RDF_DATATYPE, key=len, reverse=True)
+                         if k in decl), None)
+        if datatype is None:
+            continue
+        rml_df.at[i, 'inferred_datatype'] = datatype
+        if datatype != XSD_DOUBLE:
+            rml_df.at[i, 'lang_datatype'] = RML_DATATYPE_MAP
+            rml_df.at[i, 'lang_datatype_map_type'] = RML_CONSTANT
+            rml_df.at[i, 'lang_datatype_map_value'] = datatype
+    return rml_df
+
+
 def _is_delimited(identifier: str) -> bool:
     return len(identifier) > 2 and identifier[0] == '"' and identifier[-1] == '"'
 
@@ -646,12 +728,46 @@ def _validate(rml_df: pd.DataFrame) -> None:
 # entry point
 # --------------------------------------------------------------------------
 
-def load_mapping_graph(text: str) -> Graph:
+_warned_default_base = [False]
+
+
+def load_mapping_graph(text: 'str | list[str]') -> Graph:
+    """Parse one or more Turtle mapping documents into a single graph.
+
+    Each document is parsed with its OWN TurtleParser so @base/@prefix
+    declarations stay document-scoped and blank-node labels from different
+    files never unify (the reference parses files separately into one rdflib
+    graph, mapping_parser.py); bnode labels are namespaced per document."""
+    from ..rdf.terms import BNode
     from ..rdf.turtle import TurtleParser
-    tp = TurtleParser(text)
-    g = Graph(tp.parse())
+
+    texts = [text] if isinstance(text, str) else list(text)
+    triples: list = []
+    base = None
+    for di, doc_text in enumerate(texts):
+        tp = TurtleParser(doc_text)
+        doc = tp.parse()
+        if len(texts) > 1:
+            def fix(term, _di=di):
+                if isinstance(term, BNode):
+                    return BNode(f'd{_di}.{term}')
+                if isinstance(term, tuple):  # RDF-star quoted triple
+                    return tuple(fix(x, _di) for x in term)
+                return term
+            doc = [tuple(fix(x) for x in t) for t in doc]
+        triples.extend(doc)
+        if base is None and tp.base:
+            base = tp.base
+    g = Graph(triples)
     # stash the document base IRI for relative-IRI resolution at term time
-    g.base = tp.base or 'http://example.com/base/'
+    if base is None and not _warned_default_base[0]:
+        import logging
+        logging.getLogger('morph_kgc_ray').warning(
+            'Mapping document declares no @base; relative IRIs resolve against '
+            'the default base http://example.com/base/ (W3C test-suite '
+            'convention). Declare @base for real-world mappings.')
+        _warned_default_base[0] = True
+    g.base = base or 'http://example.com/base/'
     _r2rml_to_rml(g)
     _rml_legacy_to_rml(g)
     _rdf_class_to_pom(g)
@@ -681,7 +797,7 @@ def retrieve_mappings(config: Config) -> tuple[pd.DataFrame, pd.DataFrame]:
                 texts.append(yarrrml_to_turtle(open(path, encoding='utf-8').read()))
             else:
                 texts.append(open(path, encoding='utf-8').read())
-        g = load_mapping_graph('\n'.join(texts))
+        g = load_mapping_graph(texts)
         rml_df, fnml_df = _extract_rules(g, section)
         rml_df['base_iri'] = g.base
         rml_dfs.append(rml_df)
@@ -701,6 +817,7 @@ def retrieve_mappings(config: Config) -> tuple[pd.DataFrame, pd.DataFrame]:
 
     rml_df = _complete_source_types(rml_df, config)
     rml_df = _remove_delimiters(rml_df)
+    rml_df = _infer_sql_datatypes(rml_df, config)
     rml_df = _normalize_rml_star(rml_df)
     rml_df = _remove_self_joins_no_condition(rml_df)
     _validate(rml_df)

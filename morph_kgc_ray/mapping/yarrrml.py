@@ -179,49 +179,56 @@ def yarrrml_to_turtle(text: str) -> str:
 
     lines = ['@prefix rml: <http://w3id.org/rml/> .']
     for name, m in mappings.items():
-        tm = f'<http://mapping.example.com/map_{name}>'
-        stmts = [f'{tm} a rml:TriplesMap']
-
         src = m.get('sources', m.get('source'))
-        if isinstance(src, list) and src and not isinstance(src[0], (list, dict)) \
-                and not (len(src) and str(src[0]).count('~')):
-            # list of named-source references -> use the first
-            src = src[0]
-        elif isinstance(src, list) and src and isinstance(src[0], (list, dict)):
-            src = src[0]
-        path, fmt, iterator = _norm_source(src, sources_section)
-        ls = [f'rml:source "{_esc(path)}"']
-        fmt_iri = _FORMATS.get(str(fmt).lower()) if fmt else None
-        if fmt_iri:
-            ls.append(f'rml:referenceFormulation {fmt_iri}')
-        if iterator:
-            ls.append(f'rml:iterator "{_esc(iterator)}"')
-        stmts.append('  rml:logicalSource [ ' + ' ; '.join(ls) + ' ]')
+        if isinstance(src, list) and src and isinstance(src[0], str) and '~' in str(src[0]):
+            # ['file~format', 'iterator'] shorthand is ONE source spec
+            src_list = [src]
+        elif isinstance(src, list) and src:
+            # a list of named references or inline defs: one TriplesMap per
+            # source (the reference YARRRML loader expands every source;
+            # taking only the first silently drops triples)
+            src_list = list(src)
+        else:
+            src_list = [src]
 
-        subject = m.get('s', m.get('subject', m.get('subjects')))
-        if isinstance(subject, list):
-            subject = subject[0]
-        # subjects are IRI templates in YARRRML's shorthand
-        stmts.append(f'  rml:subjectMap [ rml:template "{_esc(_tmpl(str(subject)))}" ]')
+        for si, one_src in enumerate(src_list):
+            tm_name = f'map_{name}' if si == 0 else f'map_{name}_src{si}'
+            tm = f'<http://mapping.example.com/{tm_name}>'
+            stmts = [f'{tm} a rml:TriplesMap']
 
-        for po in (m.get('po', m.get('predicateobjects', [])) or []):
-            for kind, pred, payload, jc in _objects_of(po, prefixes):
-                p = str(pred)
-                if '$(' in p:  # template-valued predicate
-                    if ':' in p.split('$(')[0] and not p.startswith(('http://', 'https://')):
-                        pfx, local = p.split(':', 1)
-                        if pfx in prefixes:
-                            p = prefixes[pfx] + local
-                    pm = f'rml:predicateMap [ rml:template "{_esc(_tmpl(p))}" ]'
-                else:
-                    pm = f'rml:predicateMap [ rml:constant {_expand_iri(p, prefixes)} ]'
-                if kind == 'plain':
-                    stmts.append(f'  rml:predicateObjectMap [ {pm} ; rml:objectMap [ {payload} ] ]')
-                else:  # join
-                    parent_tm = f'<http://mapping.example.com/map_{payload}>'
-                    om = [f'rml:parentTriplesMap {parent_tm}']
-                    for child, parent in (jc or []):
-                        om.append(f'rml:joinCondition [ rml:child "{_esc(child)}" ; rml:parent "{_esc(parent)}" ]')
-                    stmts.append(f'  rml:predicateObjectMap [ {pm} ; rml:objectMap [ ' + ' ; '.join(om) + ' ] ]')
-        lines.append(' ;\n'.join(stmts) + ' .')
+            path, fmt, iterator = _norm_source(one_src, sources_section)
+            ls = [f'rml:source "{_esc(path)}"']
+            fmt_iri = _FORMATS.get(str(fmt).lower()) if fmt else None
+            if fmt_iri:
+                ls.append(f'rml:referenceFormulation {fmt_iri}')
+            if iterator:
+                ls.append(f'rml:iterator "{_esc(iterator)}"')
+            stmts.append('  rml:logicalSource [ ' + ' ; '.join(ls) + ' ]')
+
+            subject = m.get('s', m.get('subject', m.get('subjects')))
+            if isinstance(subject, list):
+                subject = subject[0]
+            # subjects are IRI templates in YARRRML's shorthand
+            stmts.append(f'  rml:subjectMap [ rml:template "{_esc(_tmpl(str(subject)))}" ]')
+
+            for po in (m.get('po', m.get('predicateobjects', [])) or []):
+                for kind, pred, payload, jc in _objects_of(po, prefixes):
+                    p = str(pred)
+                    if '$(' in p:  # template-valued predicate
+                        if ':' in p.split('$(')[0] and not p.startswith(('http://', 'https://')):
+                            pfx, local = p.split(':', 1)
+                            if pfx in prefixes:
+                                p = prefixes[pfx] + local
+                        pm = f'rml:predicateMap [ rml:template "{_esc(_tmpl(p))}" ]'
+                    else:
+                        pm = f'rml:predicateMap [ rml:constant {_expand_iri(p, prefixes)} ]'
+                    if kind == 'plain':
+                        stmts.append(f'  rml:predicateObjectMap [ {pm} ; rml:objectMap [ {payload} ] ]')
+                    else:  # join
+                        parent_tm = f'<http://mapping.example.com/map_{payload}>'
+                        om = [f'rml:parentTriplesMap {parent_tm}']
+                        for child, parent in (jc or []):
+                            om.append(f'rml:joinCondition [ rml:child "{_esc(child)}" ; rml:parent "{_esc(parent)}" ]')
+                        stmts.append(f'  rml:predicateObjectMap [ {pm} ; rml:objectMap [ ' + ' ; '.join(om) + ' ] ]')
+            lines.append(' ;\n'.join(stmts) + ' .')
     return '\n'.join(lines)

@@ -206,7 +206,8 @@ def ivf_probe(index_dir: str, queries: np.ndarray, query_ids: np.ndarray, k: int
     import glob
     paths = [f for c in wanted
              for f in sorted(glob.glob(os.path.join(index_dir, f'centroid_id={c}', '*.parquet')))]
-    ds = rd.read_parquet(paths, columns=[id_col, vec_col])
+    from ..sources.readers import read_parquet_clean
+    ds = read_parquet_clean(paths, columns=[id_col, vec_col])
     return brute_force_topk(ds, queries, query_ids, k=k, id_col=id_col, vec_col=vec_col)
 
 

@@ -21,6 +21,7 @@ import ray.data as rd
 
 from ..config import Config
 from ..engine.materializer import materialize_dataset
+from ..sources.readers import read_parquet_clean
 from ..ops import dedup as dedup_ops
 from ..ops import similarity as sim_ops
 from ..ops import text as text_ops
@@ -127,24 +128,24 @@ def rml_documents_lang(sf_dir: str):
 # --------------------------------------------------------------------------
 
 def dedup_exact_documents(sf_dir: str):
-    ds = rd.read_parquet(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
+    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
     return dedup_ops.exact_dedup(ds, ['text'], 'doc_id')
 
 
 def token_count_documents(sf_dir: str):
-    ds = rd.read_parquet(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
+    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
     return text_ops.token_count(ds).select_columns(['doc_id', 'n_tokens'])
 
 
 def quality_stats_documents(sf_dir: str):
-    ds = rd.read_parquet(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
+    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
     out = text_ops.quality_stats(ds)
     return out.select_columns(['doc_id', 'n_chars_computed', 'n_upper', 'n_digit'])
 
 
 def lang_count_documents(sf_dir: str):
     from ray.data.aggregate import Count, Sum
-    ds = rd.read_parquet(_p(sf_dir, 'documents'), columns=['lang', 'n_chars'])
+    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['lang', 'n_chars'])
     out = ds.groupby('lang').aggregate(Count(alias_name='n_docs'),
                                        Sum('n_chars', alias_name='sum_chars'))
     return out
@@ -152,7 +153,7 @@ def lang_count_documents(sf_dir: str):
 
 def events_hourly_user_agg(sf_dir: str):
     from ray.data.aggregate import Count, Sum
-    ds = rd.read_parquet(_p(sf_dir, 'events'), columns=['user_id', 'ts', 'value'])
+    ds = read_parquet_clean(_p(sf_dir, 'events'), columns=['user_id', 'ts', 'value'])
 
     def bucketize(t: pa.Table) -> pa.Table:
         us = pc.cast(t['ts'], pa.int64())
@@ -167,19 +168,19 @@ def events_hourly_user_agg(sf_dir: str):
 
 def top_customers(sf_dir: str):
     from ray.data.aggregate import Count
-    ds = rd.read_parquet(_p(sf_dir, 'orders'), columns=['o_custkey'])
+    ds = read_parquet_clean(_p(sf_dir, 'orders'), columns=['o_custkey'])
     agg = ds.groupby('o_custkey').aggregate(Count(alias_name='n_orders'))
     return agg.sort(['n_orders', 'o_custkey'], descending=[True, False]).limit(10)
 
 
 def fingerprint_documents(sf_dir: str):
-    ds = rd.read_parquet(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
+    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
     return text_ops.fingerprint(ds).select_columns(['doc_id', 'fingerprint'])
 
 
 def ann_topk_embeddings(sf_dir: str):
     """Exact cosine top-10 of the first 5 vectors over all embeddings."""
-    ds = rd.read_parquet(_p(sf_dir, 'embeddings'), columns=['vec_id', 'embedding'])
+    ds = read_parquet_clean(_p(sf_dir, 'embeddings'), columns=['vec_id', 'embedding'])
     import pyarrow.parquet as pq
     head = pq.read_table(_p(sf_dir, 'embeddings'), columns=['vec_id', 'embedding']) \
         .sort_by('vec_id').slice(0, 5)
@@ -192,17 +193,17 @@ def ann_topk_embeddings(sf_dir: str):
 # ---- non-SQL-expressible ops (rows-only checks) ----
 
 def minhash_dedup_documents(sf_dir: str):
-    ds = rd.read_parquet(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
+    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
     return dedup_ops.minhash_dedup_clusters(ds, rounds=2)
 
 
 def simhash_documents(sf_dir: str):
-    ds = rd.read_parquet(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
+    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
     return dedup_ops.simhash(ds).select_columns(['doc_id', 'simhash'])
 
 
 def lang_id_documents(sf_dir: str):
-    ds = rd.read_parquet(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
+    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
     return text_ops.lang_id(ds, concurrency=2).select_columns(['doc_id', 'lang_pred'])
 
 
@@ -210,7 +211,7 @@ def ivf_ann_embeddings(sf_dir: str):
     """IVF ANN with k-means centroids (seeded hash-sample init + Lloyd
     rounds).  nprobe=3 of 8 buckets achieves recall@10 = 1.0 on this corpus,
     so the result is oracle-checked against the exact-top-k SQL."""
-    ds = rd.read_parquet(_p(sf_dir, 'embeddings'), columns=['vec_id', 'embedding'])
+    ds = read_parquet_clean(_p(sf_dir, 'embeddings'), columns=['vec_id', 'embedding'])
     import pyarrow.parquet as pq
     head = pq.read_table(_p(sf_dir, 'embeddings'), columns=['vec_id', 'embedding']).sort_by('vec_id').slice(0, 5)
     qids = np.asarray(head['vec_id'].to_pylist(), dtype=np.int64)
@@ -225,7 +226,7 @@ def ivf_recall_embeddings(sf_dir: str):
     the exact scan — exercises the full build/probe path end-to-end."""
     import tempfile
 
-    ds = rd.read_parquet(_p(sf_dir, 'embeddings'), columns=['vec_id', 'embedding'])
+    ds = read_parquet_clean(_p(sf_dir, 'embeddings'), columns=['vec_id', 'embedding'])
     import pyarrow.parquet as pq
     head = pq.read_table(_p(sf_dir, 'embeddings'), columns=['vec_id', 'embedding']).sort_by('vec_id').slice(0, 5)
     qids = np.asarray(head['vec_id'].to_pylist(), dtype=np.int64)
@@ -249,7 +250,7 @@ def multimodal_image_features(sf_dir: str):
     """Binary-column plumbing: treat doc text bytes as opaque payloads and
     run the (stubbed) decode actor pool over them."""
     from ..ops.multimodal import decode_images
-    ds = rd.read_parquet(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
+    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
 
     def to_binary(t: pa.Table) -> pa.Table:
         blobs = [x.encode('utf-8') for x in t['text'].to_pylist()]
@@ -267,7 +268,7 @@ def web_kg_construction(sf_dir: str):
     from .web import web_kg_triples
     sf = sf_dir.rstrip('/').rsplit('sf', 1)[-1]
     rows = {'0.001': 1000, '0.01': 5000, '0.1': 20000}.get(sf, 2000)
-    pages = rd.read_parquet(pages_parquet_dir(rows), columns=['url', 'warc_ts', 'html', 'lang'])
+    pages = read_parquet_clean(pages_parquet_dir(rows), columns=['url', 'warc_ts', 'html', 'lang'])
     return web_kg_triples(pages, concurrency=4)
 
 

@@ -26,6 +26,22 @@ from ..constants import (
 from ..engine.kernels import source_prologue
 
 
+def read_parquet_clean(paths, columns=None, **kwargs) -> ray.data.Dataset:
+    """``ray.data.read_parquet`` with pandas-origin schema metadata stripped.
+
+    Parquet files written by pandas carry a ``b'pandas'`` schema-metadata
+    blob; ``pyarrow.Schema.__hash__`` raises on it ("unhashable type: dict"),
+    which makes Ray's block-concat schema dedup log a warning per batch.
+    Stripping the metadata right after the scan keeps logs clean and costs
+    one metadata-only op per block (fused with the read)."""
+    ds = ray.data.read_parquet(paths, columns=columns, **kwargs)
+
+    def strip(t: pa.Table) -> pa.Table:
+        return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+    return ds.map_batches(strip, batch_format='pyarrow', zero_copy_batch=True)
+
+
 def _prologue_fn(references: list[str], na_values: list[str], keep_order: bool = False,
                  null_ok_refs: 'tuple | list' = ()):
     refs = list(references)
@@ -76,7 +92,7 @@ def read_source(rule, references: list[str], config: Config, python_source=None,
     elif rule['logical_source_type'] == RML_QUERY:
         ds = _read_tabular_view(rule, config)
     elif source_type == PARQUET:
-        ds = ray.data.read_parquet(rule['logical_source_value'], columns=references)
+        ds = read_parquet_clean(rule['logical_source_value'], columns=references)
     elif source_type in (CSV, TSV):
         ds = _read_csv(rule, references, source_type)
     elif source_type == JSON:
@@ -155,21 +171,19 @@ def _read_tabular_view(rule, config: Config) -> ray.data.Dataset:
     file sources."""
     import duckdb
 
-    base = config._options.get('source_base_dir')
-    cwd = os.getcwd()
+    # per-connection file_search_path resolves relative paths in the view SQL
+    # without mutating the process-global CWD (os.chdir would race with any
+    # concurrently-built pipeline in the same driver)
+    search_dirs = [d for d in (config._options.get('source_base_dir'),
+                               config._options.get('source_fallback_dir')) if d]
+    con = duckdb.connect()
     try:
-        if base:
-            os.chdir(base)
-        try:
-            table = duckdb.query(rule['logical_source_value']).arrow()
-        except Exception:
-            fallback = config._options.get('source_fallback_dir')
-            if not fallback:
-                raise
-            os.chdir(fallback)
-            table = duckdb.query(rule['logical_source_value']).arrow()
+        if search_dirs:
+            path_list = ','.join(search_dirs)
+            con.execute(f"SET file_search_path = '{path_list}'")
+        table = con.sql(rule['logical_source_value']).arrow()
     finally:
-        os.chdir(cwd)
+        con.close()
     return ray.data.from_arrow(table)
 
 
@@ -285,11 +299,22 @@ class JsonIteratorKernel:
         return out.convert_dtypes(convert_boolean=False)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
         frames = []
-        for blob in batch['bytes']:
+        paths = batch['path'] if 'path' in batch.columns else [None] * len(batch['bytes'])
+        for blob, path in zip(batch['bytes'], paths):
             data = json.loads(blob.decode('utf-8') if isinstance(blob, (bytes, bytearray)) else blob)
-            frames.append(self.iterate_object(data, with_record_ids=self.with_record_ids,
-                                              null_ok_refs=self.null_ok_refs))
+            f = self.iterate_object(data, with_record_ids=self.with_record_ids,
+                                    null_ok_refs=self.null_ok_refs)
+            if self.with_record_ids and path is not None and '__record' in f.columns and len(f):
+                # namespace record ids per source file: a multi-file/glob
+                # source restarts the match index at 0 per blob, and unnamed-
+                # subject gathers group on __record — colliding ids would
+                # merge unrelated records across files
+                off = int.from_bytes(hashlib.blake2b(str(path).encode(), digest_size=8).digest(),
+                                     'little') & ((1 << 42) - 1)
+                f['__record'] = f['__record'].astype('int64') + (off << 20)
+            frames.append(f)
         if not frames:
             cols = {r: pd.Series(dtype=object) for r in self.references}
             if self.with_record_ids:
@@ -309,7 +334,9 @@ class JsonIteratorKernel:
 def _read_json(rule, references, na_values, keep_order: bool = False,
                null_ok_refs: 'tuple | list' = ()) -> ray.data.Dataset:
     path = rule['logical_source_value']
-    ds = ray.data.read_binary_files(path)
+    # include_paths so record ids can be namespaced per file (multi-file glob
+    # sources must not share __record ids across files)
+    ds = ray.data.read_binary_files(path, include_paths=keep_order)
     kernel = JsonIteratorKernel(rule['iterator'], references, with_record_ids=keep_order,
                                 null_ok_refs=null_ok_refs)
     ds = ds.map_batches(kernel.__call__, batch_format='pandas')
@@ -454,6 +481,34 @@ def _read_rdb(rule, references, config: Config) -> ray.data.Dataset:
         finally:
             con.close()
         return ray.data.from_pandas(df) if len(df) else ray.data.from_pandas(df.astype(object))
-    raise NotImplementedError(
-        'Only sqlite:// db_urls are runnable in this environment; other dialects '
-        'need their DBAPI drivers (use ray.data.read_sql with a connection factory).')
+    # server databases: distributed read via ray.data.read_sql — each read
+    # task opens its own DBAPI connection from the factory (driver-side
+    # to_pandas of a server table would be the wrong physical design)
+    return ray.data.read_sql(sql, _dbapi_connection_factory(db_url))
+
+
+def _dbapi_connection_factory(db_url: str):
+    """DBAPI connection factory for ``ray.data.read_sql`` from a SQLAlchemy-
+    style URL (reference relational_db.py:85-92 builds an engine; here every
+    Ray read task calls the factory itself)."""
+    from urllib.parse import urlparse
+
+    u = urlparse(db_url)
+    scheme = u.scheme.split('+')[0]
+    host, port, db = u.hostname, u.port, (u.path or '/').lstrip('/')
+    user, password = u.username, u.password
+    if scheme in ('mysql', 'mariadb'):
+        def connect():
+            import pymysql  # optional dependency (absent in this container)
+            return pymysql.connect(host=host, port=port or 3306, user=user,
+                                   password=password or '', database=db)
+    elif scheme in ('postgresql', 'postgres'):
+        def connect():
+            import psycopg2  # optional dependency (absent in this container)
+            return psycopg2.connect(host=host, port=port or 5432, user=user,
+                                    password=password, dbname=db)
+    else:
+        raise NotImplementedError(
+            f'Unsupported db_url dialect `{scheme}`: supported are sqlite (native), '
+            'mysql/mariadb (pymysql) and postgresql (psycopg2).')
+    return connect

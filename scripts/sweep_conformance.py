@@ -45,12 +45,29 @@ KNOWN_SKIPS = (
     # infers datatypes (typeof('col') bug, relational_db.py:105) and its
     # other 40+ adapted goldens match that no-inference behavior (which we
     # replicate); 0003a/0020a/0020b goldens disagree with their own data
-    'r2rml/R2RMLTC0003a', 'r2rml/R2RMLTC0005b', 'r2rml/R2RMLTC0007e', 'r2rml/R2RMLTC0007f',
-    'r2rml/R2RMLTC0008a', 'r2rml/R2RMLTC0012a', 'r2rml/R2RMLTC0012e', 'r2rml/R2RMLTC0016b',
-    'r2rml/R2RMLTC0016c', 'r2rml/R2RMLTC0016d', 'r2rml/R2RMLTC0020a', 'r2rml/R2RMLTC0020b',
+    'r2rml/R2RMLTC0003a',  # fork golden is empty while the mapping+data produce
+                           # 4 triples/row (fork test output inconsistent with data)
+    'r2rml/R2RMLTC0012a',  # golden says "30"^^xsd:integer but the column is
+                           # FLOAT (natural mapping => double); golden/data disagree
+    'r2rml/R2RMLTC0012e',  # golden annotates the inferred double ("3.0E1"^^xsd:double)
+                           # while 0016b's golden leaves the same inference
+                           # unannotated — mutually inconsistent fork goldens
+    'r2rml/R2RMLTC0020a', 'r2rml/R2RMLTC0020b',  # goldens use
+                           # http://example.com/company/Alice while resource.db
+                           # contains http://company.com/Alice (golden/data disagree)
     'r2rml/R2RMLTC0002b',  # fork test expects an environment-specific error; the
                            # W3C golden for this TC is a normal (non-error) output,
                            # which is what this engine produces
+)
+
+# TCs whose goldens keep the W3C natural-mapping datatype forms: run them
+# with SQL datatype inference enabled (the fork's sqlite inference is a no-op
+# — typeof('col') bug, relational_db.py:102 — so its other r2rml goldens were
+# adapted to no-inference output; these kept canonical forms)
+INFER_DT_TCS = (
+    'r2rml/R2RMLTC0005b', 'r2rml/R2RMLTC0007e', 'r2rml/R2RMLTC0007f',
+    'r2rml/R2RMLTC0008a', 'r2rml/R2RMLTC0016b', 'r2rml/R2RMLTC0016c',
+    'r2rml/R2RMLTC0016d',
 )
 
 results = {}
@@ -74,6 +91,8 @@ for suite in SUITES:
                     raise
                 except Exception:
                     pass  # error expected
+            elif any(x in name for x in INFER_DT_TCS):
+                assert_tc_matches(d, extra_options={'infer_sql_datatypes': 'yes'})
             else:
                 assert_tc_matches(d)
             npass += 1

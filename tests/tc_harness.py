@@ -12,7 +12,8 @@ from morph_kgc_ray.testing import graphs_equal, parse_nquads, triples_set_to_qua
 REFERENCE_TEST_ROOT = '/root/reference/test'
 
 
-def run_tc(tc_dir: str, output_format: str = 'N-QUADS', python_source=None):
+def run_tc(tc_dir: str, output_format: str = 'N-QUADS', python_source=None,
+           extra_options: 'dict | None' = None):
     mapping_candidates = sorted(glob.glob(os.path.join(tc_dir, 'mapping*.ttl')))
     if not mapping_candidates:  # YARRRML-only test case
         mapping_candidates = sorted(glob.glob(os.path.join(tc_dir, 'mapping*.yml'))
@@ -27,6 +28,8 @@ def run_tc(tc_dir: str, output_format: str = 'N-QUADS', python_source=None):
     udfs = glob.glob(os.path.join(tc_dir, 'udf*.py'))
     if udfs:
         options['udfs'] = udfs[0]
+    if extra_options:
+        options.update(extra_options)
     dbs = glob.glob(os.path.join(tc_dir, '*.db'))
     if dbs:
         options['DataSource1']['db_url'] = f'sqlite:///{dbs[0]}'
@@ -126,8 +129,9 @@ def expects_error(tc_dir: str) -> bool:
     return False
 
 
-def assert_tc_matches(tc_dir: str, output_format: str = 'N-QUADS'):
-    triples = run_tc(tc_dir, output_format=output_format)
+def assert_tc_matches(tc_dir: str, output_format: str = 'N-QUADS',
+                      extra_options: 'dict | None' = None):
+    triples = run_tc(tc_dir, output_format=output_format, extra_options=extra_options)
     golden_path = os.path.join(tc_dir, 'output.nq')
     with open(golden_path, encoding='utf-8') as f:
         golden = parse_nquads(f.read())
