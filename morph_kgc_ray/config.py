@@ -116,6 +116,10 @@ class Config:
     def infer_sql_datatypes(self) -> bool:
         return self._get('infer_sql_datatypes').lower() in ('yes', 'true', '1', 'on')
 
+    def get_mapping_partitioning(self) -> str:
+        v = self._get('mapping_partitioning').upper().replace('_', '-')
+        return v or 'PARTIAL-AGGREGATIONS'
+
     def get_output_dir(self) -> str:
         return self._get('output_dir')
 

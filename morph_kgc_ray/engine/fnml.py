@@ -235,6 +235,46 @@ def get_references_in_fnml_execution(fnml_df, execution: str) -> list[str]:
     return references
 
 
+# --------------------------------------------------------------------------
+# vectorized variants of the hot element-wise built-ins
+# --------------------------------------------------------------------------
+# execute_fnml uses these when available: constant params arrive as Python
+# scalars, reference/template params as pyarrow large_string arrays.  A
+# variant may return None to decline (e.g. non-constant replace pattern),
+# falling back to the per-row scalar path.
+
+def _vec_replace(string, old_substring, new_substring):
+    import pyarrow.compute as pc
+    if isinstance(old_substring, str) and isinstance(new_substring, str):
+        return pc.replace_substring(string, old_substring, new_substring)
+    return None
+
+
+def _vec_concat(string1, string2, separator=''):
+    from .kernels import ljoin
+    if not isinstance(separator, str):
+        return None
+    return ljoin(string1, separator, string2)
+
+
+def _make_pc_vec(kernel_name):
+    def vec(string):
+        import pyarrow.compute as pc
+        return getattr(pc, kernel_name)(string)
+    return vec
+
+
+VECTORIZED_BIFS = {
+    f'{_GREL}toLowerCase': _make_pc_vec('utf8_lower'),
+    f'{_GREL}toUpperCase': _make_pc_vec('utf8_upper'),
+    f'{_GREL}toTitleCase': _make_pc_vec('utf8_title'),
+    f'{_GREL}string_trim': _make_pc_vec('utf8_trim_whitespace'),
+    f'{_GREL}reverse': _make_pc_vec('utf8_reverse'),
+    f'{_GREL}string_replace': _vec_replace,
+    f'{_MORPH}concat': _vec_concat,
+}
+
+
 def _expand_template_series(df: pd.DataFrame, template: str) -> pd.Series:
     references = get_references_in_template(template)
     template = template.replace('\\{', '{').replace('\\}', '}')
@@ -269,20 +309,35 @@ def execute_fnml(df: pd.DataFrame, fnml_df: pd.DataFrame, execution_id: str, con
     function = entry['function']
     decorator_params = entry['parameters']
 
-    bound: dict[str, list] = {}
+    const_args: dict = {}
+    series_args: dict = {}
     for arg_name, param_iri in decorator_params.items():
         if param_iri in param_types:
             if param_types[param_iri] == RML_CONSTANT:
-                bound[arg_name] = [param_values[param_iri]] * len(df)
+                const_args[arg_name] = param_values[param_iri]
             elif param_types[param_iri] == RML_TEMPLATE:
-                bound[arg_name] = list(_expand_template_series(df, param_values[param_iri]))
+                series_args[arg_name] = _expand_template_series(df, param_values[param_iri])
             else:  # reference or nested execution result column
-                bound[arg_name] = list(df[param_values[param_iri]].astype(str))
+                series_args[arg_name] = df[param_values[param_iri]].astype(str)
 
-    results = []
-    for i in range(len(df)):
-        results.append(function(**{k: v[i] for k, v in bound.items()}))
     df = df.copy()
+    vec = VECTORIZED_BIFS.get(function_id)
+    results = None
+    if vec is not None and len(df) and series_args:  # all-constant args: scalar path
+        arrs = {k: pa.array(list(v), pa.large_string()) for k, v in series_args.items()}
+        try:
+            res = vec(**const_args, **arrs)
+        except TypeError:
+            res = None
+        if isinstance(res, (pa.Array, pa.ChunkedArray)):
+            if isinstance(res, pa.ChunkedArray):
+                res = res.combine_chunks()
+            results = res.to_pandas()
+            results.index = df.index
+    if results is None:
+        bound = {k: [v] * len(df) for k, v in const_args.items()}
+        bound.update({k: list(v) for k, v in series_args.items()})
+        results = [function(**{k: v[i] for k, v in bound.items()}) for i in range(len(df))]
     df[execution_id] = results
 
     na_values = set(config.get_na_values())

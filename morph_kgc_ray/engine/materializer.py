@@ -308,6 +308,48 @@ def merge_datasets(child_ds, parent_ds, join_conditions: str, config: Config):
 # per-rule pipeline (dispatch mirroring _materialize_rml_rule)
 # --------------------------------------------------------------------------
 
+class _TermStageActor:
+    """Actor-pool wrapper for FNML-bearing rules (reference fnml_executer
+    loads UDF modules once per mp.Pool worker): UDF module import and
+    term-plan compilation happen ONCE per actor in __init__, per-batch work
+    is only the function evaluation (vectorized where a pc.* variant
+    exists)."""
+
+    def __init__(self, rule, fnml_df, config, columns_alias='',
+                 positions=('subject', 'predicate', 'object')):
+        from .fnml import load_udfs
+        if config.get_udfs_path():
+            load_udfs(config.get_udfs_path())
+        self._stage = make_term_stage(rule, fnml_df, config, columns_alias,
+                                      positions=positions)
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        return self._stage(table)
+
+
+def _rule_has_fnml(rule, positions=('subject', 'predicate', 'object')) -> bool:
+    if any(rule[f'{p}_map_type'] == RML_EXECUTION for p in positions):
+        return True
+    return pd.notna(rule['lang_datatype_map_type']) and \
+        rule['lang_datatype_map_type'] == RML_EXECUTION
+
+
+def _apply_term_stage(ds, rule, fnml_df, config: Config, columns_alias='',
+                      positions=('subject', 'predicate', 'object')):
+    """Plain task for pure-kernel rules; a small actor pool when the rule
+    evaluates FNML functions AND a UDF module is configured (the stateful
+    case — module import bound once per actor).  Built-in-only FNML rules
+    stay task-form: their hot kernels are vectorized and actor spin-up would
+    cost more than it saves."""
+    if _rule_has_fnml(rule, positions) and config.get_udfs_path():
+        return ds.map_batches(_TermStageActor,
+                              fn_constructor_args=(rule, fnml_df, config, columns_alias, positions),
+                              batch_format='pyarrow', concurrency=(1, 4))
+    return ds.map_batches(make_term_stage(rule, fnml_df, config, columns_alias,
+                                          positions=positions),
+                          batch_format='pyarrow')
+
+
 def _finalize_triples(ds, rule, fnml_df, config: Config, nest_level: int, as_columns: bool = False):
     """Concatenate the `triple` column (and graph for N-Quads at top level).
 
@@ -378,7 +420,7 @@ def materialize_rule(rule, rml_df, fnml_df, config: Config, data=None,
     if sm_type == RML_CONSTANT and rule['predicate_map_type'] == RML_CONSTANT and \
             om_type == RML_CONSTANT and rule['graph_map_type'] == RML_CONSTANT:
         ds = ray.data.from_items([{'placeholder': 'placeholder'}])
-        ds = ds.map_batches(make_term_stage(rule, fnml_df, config), batch_format='pyarrow')
+        ds = _apply_term_stage(ds, rule, fnml_df, config)
 
     elif sm_type == RML_QUOTED_TRIPLES_MAP or om_type == RML_QUOTED_TRIPLES_MAP:
         if data is None:
@@ -415,8 +457,7 @@ def materialize_rule(rule, rml_df, fnml_df, config: Config, data=None,
                 ds = ds.map_batches(_copy_stage(keep_col, 'subject'), batch_format='pyarrow')
         positions = [p for p in ('subject', 'predicate', 'object')
                      if rule[f'{p}_map_type'] != RML_QUOTED_TRIPLES_MAP]
-        ds = ds.map_batches(make_term_stage(rule, fnml_df, config, positions=tuple(positions)),
-                            batch_format='pyarrow')
+        ds = _apply_term_stage(ds, rule, fnml_df, config, positions=tuple(positions))
 
     elif om_type == RML_PARENT_TRIPLES_MAP:
         references.update(refs_object_join)
@@ -432,8 +473,7 @@ def materialize_rule(rule, rml_df, fnml_df, config: Config, data=None,
         joined_rule = rule.copy()
         joined_rule['object_map_type'] = parent_rule['subject_map_type']
         joined_rule['object_map_value'] = parent_rule['subject_map_value']
-        ds = ds.map_batches(make_term_stage(joined_rule, fnml_df, config, columns_alias='parent_'),
-                            batch_format='pyarrow')
+        ds = _apply_term_stage(ds, joined_rule, fnml_df, config, columns_alias='parent_')
         rule = joined_rule
 
     elif pd.notna(rule.get('gather')) or pd.notna(rule.get('gather_subject')) or sm_type == RML_GATHER:
@@ -450,7 +490,7 @@ def materialize_rule(rule, rml_df, fnml_df, config: Config, data=None,
     else:
         if data is None:
             data = read_source(rule, sorted(references), config, python_source)
-        ds = data.map_batches(make_term_stage(rule, fnml_df, config), batch_format='pyarrow')
+        ds = _apply_term_stage(data, rule, fnml_df, config)
 
     return _finalize_triples(ds, rule, fnml_df, config, nest_level,
                              as_columns=as_columns and nest_level == 0)

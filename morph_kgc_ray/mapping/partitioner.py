@@ -92,6 +92,94 @@ def _prefix_grouping(rml_df: pd.DataFrame, invariant_col: str, partition_col: st
     return rml_df
 
 
+def _maximal_refine(df: pd.DataFrame, position: str) -> pd.DataFrame:
+    """Refine the running ``mapping_partition`` groups by one position
+    (reference mapping_partitioner.py:408-520 semantics: hierarchical
+    grouping — the per-position counters reset at every enclosing group
+    boundary; the literal-type tracker deliberately persists, matching the
+    reference exactly)."""
+    if position == 'S':
+        df = df.sort_values(by=['mapping_partition', 'subject_invariant'], ascending=True)
+    elif position == 'P':
+        df = df.sort_values(by=['mapping_partition', 'predicate_invariant'], ascending=True)
+    elif position == 'O':
+        df = df.sort_values(by=['mapping_partition', 'object_termtype', 'literal_type',
+                                'object_invariant'], ascending=True, na_position='first')
+    else:
+        df = df.sort_values(by=['mapping_partition', 'graph_invariant'], ascending=True)
+
+    enforce_full = False
+    if position == 'P':
+        enforce_full = set(df['predicate_map_type'].dropna()) == {RML_CONSTANT}
+    elif position == 'G':
+        enforce_full = set(df['graph_map_type'].dropna()) == {RML_CONSTANT}
+
+    current_global = df.iloc[0]['mapping_partition'] if len(df) else ''
+    current_group = 0
+    current_invariant = AUXILIAR_UNIQUE_REPLACING_STRING
+    current_literal_type = AUXILIAR_UNIQUE_REPLACING_STRING
+    for i, rule in df.iterrows():
+        if current_global != rule['mapping_partition']:
+            current_group = 0
+            current_invariant = AUXILIAR_UNIQUE_REPLACING_STRING
+            current_global = rule['mapping_partition']
+
+        if position == 'S':
+            if rule['subject_termtype'] == RML_BLANK_NODE:
+                df.at[i, 'mapping_partition'] += '-0'
+            elif str(rule['subject_invariant']).startswith(current_invariant):
+                df.at[i, 'mapping_partition'] += f'-{current_group}'
+            else:
+                current_group += 1
+                current_invariant = str(rule['subject_invariant'])
+                df.at[i, 'mapping_partition'] += f'-{current_group}'
+        elif position == 'O':
+            if rule['object_termtype'] == RML_BLANK_NODE:
+                df.at[i, 'mapping_partition'] += '-0'
+            elif rule['object_termtype'] == RML_LITERAL:
+                if str(rule['literal_type']) != current_literal_type:
+                    current_group += 1
+                    current_literal_type = str(rule['literal_type'])
+                df.at[i, 'mapping_partition'] += f'-{current_group}'
+            elif str(rule['object_invariant']).startswith(current_invariant):
+                df.at[i, 'mapping_partition'] += f'-{current_group}'
+            else:
+                current_group += 1
+                current_invariant = str(rule['object_invariant'])
+                df.at[i, 'mapping_partition'] += f'-{current_group}'
+        else:  # P / G
+            inv_col = 'predicate_invariant' if position == 'P' else 'graph_invariant'
+            if enforce_full and str(rule[inv_col]) == current_invariant:
+                df.at[i, 'mapping_partition'] += f'-{current_group}'
+            elif not enforce_full and str(rule[inv_col]).startswith(current_invariant):
+                df.at[i, 'mapping_partition'] += f'-{current_group}'
+            else:
+                current_group += 1
+                current_invariant = str(rule[inv_col])
+                df.at[i, 'mapping_partition'] += f'-{current_group}'
+    return df
+
+
+def _partition_maximal(rml_df: pd.DataFrame) -> pd.DataFrame:
+    """MAXIMAL algorithm (reference mapping_partitioner.py:186-228): try all
+    24 S/P/O/G orderings of hierarchical refinement, keep the ordering that
+    yields the most groups.  More groups = more partition-level parallelism
+    and smaller per-partition dedup domains on wide mappings."""
+    from itertools import permutations
+
+    best, best_n = None, -1
+    for ordering in permutations('SPOG'):
+        df = rml_df.copy()
+        df['mapping_partition'] = ''
+        for pos in ordering:
+            df = _maximal_refine(df, pos)
+        n = df['mapping_partition'].nunique()
+        if n > best_n:
+            best_n, best = n, df
+    best['mapping_partition'] = best['mapping_partition'].str[1:]
+    return best.sort_index()
+
+
 def partition_mappings(rml_df: pd.DataFrame, config: Config) -> pd.DataFrame:
     if not len(rml_df):
         rml_df = rml_df.copy()
@@ -99,6 +187,16 @@ def partition_mappings(rml_df: pd.DataFrame, config: Config) -> pd.DataFrame:
         return rml_df
 
     rml_df = _compute_invariants(rml_df)
+
+    if config.get_mapping_partitioning() == 'MAXIMAL':
+        if {RML_REFERENCE, RML_TEMPLATE}.intersection(set(rml_df['lang_datatype_map_type'].dropna())):
+            rml_df['literal_type'] = rml_df['lang_datatype']
+        else:
+            rml_df['literal_type'] = rml_df['lang_datatype_map_value']
+        rml_df = _partition_maximal(rml_df)
+        return rml_df.drop(columns=[
+            'subject_invariant', 'predicate_invariant', 'object_invariant',
+            'graph_invariant', 'literal_type'])
     for col in ('subject_partition', 'predicate_partition', 'object_partition', 'graph_partition'):
         rml_df[col] = ''
 

@@ -70,6 +70,11 @@ INFER_DT_TCS = (
     'r2rml/R2RMLTC0016d',
 )
 
+# e.g. GRAFT_PARTITIONING=MAXIMAL re-runs the sweep under the other
+# mapping-partition algorithm (results must be partition-invariant)
+EXTRA = ({'mapping_partitioning': os.environ['GRAFT_PARTITIONING']}
+         if os.environ.get('GRAFT_PARTITIONING') else {})
+
 results = {}
 failures = []
 for suite in SUITES:
@@ -92,9 +97,9 @@ for suite in SUITES:
                 except Exception:
                     pass  # error expected
             elif any(x in name for x in INFER_DT_TCS):
-                assert_tc_matches(d, extra_options={'infer_sql_datatypes': 'yes'})
+                assert_tc_matches(d, extra_options={'infer_sql_datatypes': 'yes', **EXTRA})
             else:
-                assert_tc_matches(d)
+                assert_tc_matches(d, extra_options=EXTRA or None)
             npass += 1
         except Exception as e:
             nfail += 1

@@ -94,3 +94,29 @@ def test_source_prologue_drops_na_and_dedups():
     out = source_prologue(t, ['a', 'b'], na_values=['', 'nan'])
     rows = set(zip(out['a'].to_pylist(), out['b'].to_pylist()))
     assert rows == {('1', 'x')}
+
+
+def test_maximal_partitioner_matches_or_beats_partial():
+    """MAXIMAL tries all 24 S/P/O/G refinement orderings and must yield at
+    least as many (still-disjoint) groups as PARTIAL-AGGREGATIONS."""
+    from morph_kgc_ray import Config
+    from morph_kgc_ray.mapping.parser import retrieve_mappings
+    base = '/root/reference/test/r2rml/R2RMLTC0009a'
+    counts = {}
+    for algo in ('PARTIAL-AGGREGATIONS', 'MAXIMAL'):
+        cfg = Config({'DS': {'mappings': f'{base}/mapping.ttl',
+                             'db_url': f'sqlite:///{base}/resource.db'},
+                      'mapping_partitioning': algo})
+        df, _ = retrieve_mappings(cfg)
+        counts[algo] = df['mapping_partition'].nunique()
+        assert df['mapping_partition'].notna().all()
+    assert counts['MAXIMAL'] >= counts['PARTIAL-AGGREGATIONS'] >= 1
+
+
+def test_xsd_canonical_double():
+    from morph_kgc_ray.engine.kernels import xsd_canonical_double
+    assert xsd_canonical_double('80.25') == '8.025E1'
+    assert xsd_canonical_double('30') == '3.0E1'
+    assert xsd_canonical_double('1.65') == '1.65E0'
+    assert xsd_canonical_double('0') == '0.0E0'
+    assert xsd_canonical_double('-0.001') == '-1.0E-3'
