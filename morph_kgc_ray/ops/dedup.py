@@ -158,23 +158,12 @@ def minhash_lsh_candidates(ds: ray.data.Dataset, id_col: str = 'doc_id', num_per
     return distinct(pairs, ['id_a', 'id_b'])
 
 
-def minhash_dedup_clusters(ds: ray.data.Dataset, id_col: str = 'doc_id', text_col: str = 'text',
-                           num_perm: int = 64, bands: int = 16, rounds: int = 3,
-                           verify_threshold: 'float | None' = 0.5,
-                           num_partitions: int = 16) -> ray.data.Dataset:
-    """Assign each involved doc a cluster label = min reachable doc id, by a
-    few rounds of min-label propagation over the verified candidate-pair
-    graph.  Everything stays in the data plane: candidate pairs are verified
-    by a bucketed JOIN against the doc texts (no corpus broadcast) and each
-    propagation round is one keyed join + groupby-min (no driver-side label
-    map — the round-1 dict-broadcast design would OOM the driver at 100 TB)."""
-    pairs = minhash_lsh_candidates(ds, id_col=id_col, num_perm=num_perm, bands=bands,
-                                   text_col=text_col)
-    if verify_threshold is not None:
-        # drop LSH false positives before they merge unrelated clusters
-        pairs = verify_pairs_jaccard(pairs, ds, id_col=id_col, text_col=text_col,
-                                     threshold=verify_threshold,
-                                     num_partitions=num_partitions)
+def min_label_clusters(pairs: ray.data.Dataset, id_col: str = 'doc_id', rounds: int = 3,
+                       num_partitions: int = 16) -> ray.data.Dataset:
+    """Connected-component labels over a candidate-pair graph: each involved
+    node gets cluster label = min reachable id after ``rounds`` of min-label
+    propagation.  Fully in the data plane — each round is one keyed join +
+    groupby-min (no driver-side label map, which would OOM at 100 TB)."""
     pairs = pairs.select_columns(['id_a', 'id_b']).materialize()
 
     # directed edges both ways: (node, nbr).  Empty blocks can arrive
@@ -192,6 +181,10 @@ def minhash_dedup_clusters(ds: ray.data.Dataset, id_col: str = 'doc_id', text_co
     # schema-less blocks would make the join build schema-less partitions)
     edges = pairs.map_batches(both_dirs, batch_format='pyarrow') \
                  .repartition(num_partitions).materialize()
+    if edges.count() == 0:  # empty graph: no clusters (all-empty datasets
+        # lose their schema through groupby/join, so short-circuit)
+        return ray.data.from_arrow(pa.table({id_col: pa.array([], pa.int64()),
+                                             'cluster_id': pa.array([], pa.int64())}))
 
     def _as_labels(t: pa.Table) -> pa.Table:
         if t.num_columns != 2:
@@ -224,6 +217,183 @@ def minhash_dedup_clusters(ds: ray.data.Dataset, id_col: str = 'doc_id', text_co
     def rename(t: pa.Table) -> pa.Table:
         return t.rename_columns([id_col, 'cluster_id'])
     return labels.map_batches(rename, batch_format='pyarrow')
+
+
+def minhash_dedup_clusters(ds: ray.data.Dataset, id_col: str = 'doc_id', text_col: str = 'text',
+                           num_perm: int = 64, bands: int = 16, rounds: int = 3,
+                           verify_threshold: 'float | None' = 0.5,
+                           num_partitions: int = 16) -> ray.data.Dataset:
+    """Near-duplicate clusters: banded-LSH candidates, exact n-gram Jaccard
+    verification via a bucketed JOIN against the doc texts (no corpus
+    broadcast; drops LSH false positives before they merge unrelated
+    clusters), then join-based min-label propagation."""
+    pairs = minhash_lsh_candidates(ds, id_col=id_col, num_perm=num_perm, bands=bands,
+                                   text_col=text_col)
+    if verify_threshold is not None:
+        pairs = verify_pairs_jaccard(pairs, ds, id_col=id_col, text_col=text_col,
+                                     threshold=verify_threshold,
+                                     num_partitions=num_partitions)
+    return min_label_clusters(pairs, id_col=id_col, rounds=rounds,
+                              num_partitions=num_partitions)
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-duplicate detection
+# --------------------------------------------------------------------------
+
+def _vec_normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def embedding_neardup_pairs(ds: ray.data.Dataset, id_col: str = 'vec_id',
+                            vec_col: str = 'embedding',
+                            threshold: float = 0.9) -> ray.data.Dataset:
+    """EXACT cosine near-duplicate pairs (id_a < id_b, cosine >= threshold).
+
+    Baseline exact path: the normalized corpus matrix is broadcast once
+    (ray.put) and every batch matmuls against it — O(n^2) compute distributed
+    over batches, zero shuffles.  Right for dimension-scale corpora and as
+    the recall oracle; at 100 TB use ``embedding_neardup_clusters`` (sign-LSH
+    bucketed candidates + verification)."""
+    import ray as _ray
+
+    rows = ds.select_columns([id_col, vec_col]).take_all()
+    ids = np.asarray([r[id_col] for r in rows], dtype=np.int64)
+    V = _vec_normalize(np.asarray([r[vec_col] for r in rows], dtype=np.float64))
+    ref = _ray.put((ids, V))
+
+    def fn(t: pa.Table) -> pa.Table:
+        all_ids, allV = _ray.get(ref)
+        bids = t[id_col].to_numpy(zero_copy_only=False)
+        if len(bids) == 0:
+            e = pa.array([], pa.int64())
+            return pa.table({'id_a': e, 'id_b': e, 'cosine': pa.array([], pa.float64())})
+        BV = _vec_normalize(np.asarray(t[vec_col].to_pylist(), dtype=np.float64))
+        sims = BV @ allV.T                              # (b, n)
+        bi, ni = np.nonzero(sims >= threshold)
+        a = bids[bi]
+        b = all_ids[ni]
+        keep = a < b                                    # each pair once
+        return pa.table({'id_a': pa.array(a[keep], pa.int64()),
+                         'id_b': pa.array(b[keep], pa.int64()),
+                         'cosine': pa.array(sims[bi[keep], ni[keep]], pa.float64())})
+
+    return ds.map_batches(fn, batch_format='pyarrow')
+
+
+class _SignLSHKernel:
+    """Random-hyperplane signature bands per vector (hyperplanes drawn once
+    per actor from a fixed seed).  Emits (band, band_hash, id) rows — the
+    banded bucket groupby is the only shuffle of the scale path."""
+
+    def __init__(self, dim: int, num_hyperplanes: int, bands: int, seed: int,
+                 id_col: str, vec_col: str):
+        rng = np.random.RandomState(seed)
+        self.H = rng.normal(size=(num_hyperplanes, dim)).astype(np.float64)
+        self.bands = bands
+        self.rows_per_band = num_hyperplanes // bands
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t[self.id_col].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({'band': pa.array([], pa.int32()),
+                             'band_hash': pa.array([], pa.uint64()),
+                             self.id_col: pa.array([], pa.int64())})
+        V = np.asarray(t[self.vec_col].to_pylist(), dtype=np.float64)
+        bits = (V @ self.H.T) > 0                        # (n, H)
+        out_band, out_hash, out_id = [], [], []
+        for b in range(self.bands):
+            chunk = bits[:, b * self.rows_per_band:(b + 1) * self.rows_per_band]
+            bh = np.zeros(len(ids), dtype=np.uint64)
+            for c in range(chunk.shape[1]):
+                bh = bh * np.uint64(2) + chunk[:, c].astype(np.uint64)
+            out_band.append(np.full(len(ids), b, dtype=np.int32))
+            out_hash.append(bh)
+            out_id.append(ids.astype(np.int64))
+        return pa.table({'band': pa.array(np.concatenate(out_band)),
+                         'band_hash': pa.array(np.concatenate(out_hash)),
+                         self.id_col: pa.array(np.concatenate(out_id))})
+
+
+def embedding_neardup_clusters(ds: ray.data.Dataset, id_col: str = 'vec_id',
+                               vec_col: str = 'embedding', threshold: float = 0.8,
+                               num_hyperplanes: int = 64, bands: int = 16,
+                               rounds: int = 2, seed: int = 7,
+                               num_partitions: int = 16) -> ray.data.Dataset:
+    """Scale path for embedding near-dup: sign-LSH banded buckets (one
+    shuffle) -> bucket-min candidate pairs -> exact cosine verification via
+    bucketed joins against the vectors -> join-based min-label clusters."""
+    first = ds.take(1)
+    dim = len(first[0][vec_col]) if first else 1
+    band_ds = ds.select_columns([id_col, vec_col]).map_batches(
+        _SignLSHKernel, fn_constructor_args=(dim, num_hyperplanes, bands, seed, id_col, vec_col),
+        batch_format='pyarrow', concurrency=2, batch_size=4096)
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g[id_col].tolist()))
+        if len(ids) < 2:
+            return pd.DataFrame({'id_a': pd.Series(dtype='int64'),
+                                 'id_b': pd.Series(dtype='int64')})
+        if len(ids) <= 64:
+            # all pairs inside small buckets (bucket-min pairing would miss
+            # x~y links whenever an unrelated smaller id shares the bucket)
+            a, b = zip(*[(x, y) for xi, x in enumerate(ids) for y in ids[xi + 1:]])
+            return pd.DataFrame({'id_a': list(a), 'id_b': list(b)})
+        # hot-bucket guard: quadratic blowup capped by star-pairing on the min
+        m = ids[0]
+        return pd.DataFrame({'id_a': [m] * (len(ids) - 1), 'id_b': ids[1:]})
+
+    pairs = band_ds.groupby(['band', 'band_hash']).map_groups(pairs_in_bucket,
+                                                              batch_format='pandas')
+    pairs = distinct(pairs, ['id_a', 'id_b'])
+
+    # exact cosine verification: two keyed joins ship vectors only to pairs.
+    # acero joins reject list<float> payloads, so vectors travel as packed
+    # float32 bytes (large_binary) and are unpacked in the verify kernel.
+    vecs = ds.select_columns([id_col, vec_col])
+
+    def _pack(out_id, out_vec):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({out_id: pa.array([], pa.int64()),
+                                 out_vec: pa.array([], pa.large_binary())})
+            V = np.asarray(t[vec_col].to_pylist(), dtype=np.float32)
+            blobs = pa.array([v.tobytes() for v in V], pa.large_binary())
+            return pa.table({out_id: t[id_col], out_vec: blobs})
+        return fn
+
+    side_a = vecs.map_batches(_pack('id_a', '__v_a'), batch_format='pyarrow')
+    side_b = vecs.map_batches(_pack('id_b', '__v_b'), batch_format='pyarrow')
+
+    def _norm_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or 'id_a' not in t.column_names:
+            e = pa.array([], pa.int64())
+            return pa.table({'id_a': e, 'id_b': e})
+        return t.select(['id_a', 'id_b'])
+
+    j = pairs.map_batches(_norm_pairs, batch_format='pyarrow').repartition(num_partitions)
+    j = j.join(side_a, 'inner', num_partitions, on=('id_a',))
+    j = j.join(side_b, 'inner', num_partitions, on=('id_b',))
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            e = pa.array([], pa.int64())
+            return pa.table({'id_a': e, 'id_b': e})
+        A = _vec_normalize(np.asarray([np.frombuffer(b, dtype=np.float32)
+                                       for b in t['__v_a'].to_pylist()], dtype=np.float64))
+        B = _vec_normalize(np.asarray([np.frombuffer(b, dtype=np.float32)
+                                       for b in t['__v_b'].to_pylist()], dtype=np.float64))
+        sims = (A * B).sum(axis=1)
+        t = t.drop_columns(['__v_a', '__v_b'])
+        return t.filter(pa.array(sims >= threshold))
+
+    verified = j.map_batches(verify, batch_format='pyarrow')
+    return min_label_clusters(verified, id_col=id_col, rounds=rounds,
+                              num_partitions=num_partitions)
 
 
 # --------------------------------------------------------------------------

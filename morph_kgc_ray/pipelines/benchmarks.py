@@ -190,7 +190,22 @@ def ann_topk_embeddings(sf_dir: str):
     return out.select(['query_id', 'neighbor_id'])
 
 
+def embedding_neardup_pairs(sf_dir: str):
+    """Exact cosine near-dup pairs over the embeddings table — each batch
+    matmuls against the broadcast corpus matrix; SQL-oracle-checked."""
+    ds = read_parquet_clean(_p(sf_dir, 'embeddings'), columns=['vec_id', 'embedding'])
+    out = dedup_ops.embedding_neardup_pairs(ds, threshold=0.5)
+    return out.select_columns(['id_a', 'id_b'])
+
+
 # ---- non-SQL-expressible ops (rows-only checks) ----
+
+
+def embedding_neardup_clusters(sf_dir: str):
+    """Sign-LSH bucketed near-dup clustering over embeddings (scale path;
+    rows-only check — LSH bucketing is not SQL-expressible)."""
+    ds = read_parquet_clean(_p(sf_dir, 'embeddings'), columns=['vec_id', 'embedding'])
+    return dedup_ops.embedding_neardup_clusters(ds, threshold=0.5)
 
 def minhash_dedup_documents(sf_dir: str):
     ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
@@ -286,6 +301,8 @@ QUERIES = {
     'top_customers': top_customers,
     'fingerprint_documents': fingerprint_documents,
     'ann_topk_embeddings': ann_topk_embeddings,
+    'embedding_neardup_pairs': embedding_neardup_pairs,
+    'embedding_neardup_clusters': embedding_neardup_clusters,
     'minhash_dedup_documents': minhash_dedup_documents,
     'simhash_documents': simhash_documents,
     'lang_id_documents': lang_id_documents,
@@ -368,6 +385,12 @@ ORACLE_SQL = {
     ''',
     'fingerprint_documents': '''
         SELECT doc_id, sha256(text) AS fingerprint FROM documents
+    ''',
+    'embedding_neardup_pairs': '''
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.5
     ''',
     # the IVF pipeline reaches recall 1.0 at nprobe=3/8 on this corpus, so its
     # result set is identical to the exact top-k and shares the exact oracle

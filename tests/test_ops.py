@@ -152,3 +152,22 @@ def test_engine_resumable_writer(ray_session, tmp_path):
     assert sum(v['rows'] for v in rep.values()) == 1
     rep2 = materialize_to_dir(cfg, out, resume=True)
     assert all(v['skipped'] for v in rep2.values())
+
+
+def test_embedding_neardup(ray_session):
+    import ray.data as rd
+    from morph_kgc_ray.ops.dedup import embedding_neardup_clusters, embedding_neardup_pairs
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(3, 32)).astype(np.float32) * 3
+    rows = []
+    # vectors 0/1 near-dup of base0, 2/3 near-dup of base1, 4 unrelated
+    for i, b in [(0, 0), (1, 0), (2, 1), (3, 1)]:
+        rows.append({'vec_id': i, 'embedding': (base[b] + rng.normal(size=32, scale=0.05)).tolist()})
+    rows.append({'vec_id': 4, 'embedding': base[2].tolist()})
+    ds = rd.from_items(rows)
+    pairs = embedding_neardup_pairs(ds, threshold=0.95).to_pandas()
+    got = {tuple(r) for r in pairs[['id_a', 'id_b']].itertuples(index=False)}
+    assert got == {(0, 1), (2, 3)}
+    clusters = embedding_neardup_clusters(ds, threshold=0.95, rounds=2).to_pandas()
+    cl = dict(zip(clusters['vec_id'], clusters['cluster_id']))
+    assert cl.get(1) == 0 and cl.get(3) == 2 and 4 not in cl
