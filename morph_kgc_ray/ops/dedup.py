@@ -144,18 +144,72 @@ def minhash_lsh_candidates(ds: ray.data.Dataset, id_col: str = 'doc_id', num_per
                          id_col: pa.array(np.concatenate(out_id))})
 
     band_ds = sig_ds.map_batches(explode_bands, batch_format='pyarrow')
-
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({'id_a': [], 'id_b': []})
-        # pair every member with the bucket minimum (enough for clustering;
-        # avoids quadratic blowup on hot buckets)
-        m = ids[0]
-        return pd.DataFrame({'id_a': [m] * (len(ids) - 1), 'id_b': ids[1:]})
-
-    pairs = band_ds.groupby(['band', 'band_hash']).map_groups(pairs_in_bucket, batch_format='pandas')
+    pairs = _bucket_pairs(band_ds, id_col, all_pairs_cap=0)
     return distinct(pairs, ['id_a', 'id_b'])
+
+
+def _bucket_pairs(band_ds: ray.data.Dataset, id_col: str, all_pairs_cap: int = 0,
+                  num_partitions: 'int | None' = None) -> ray.data.Dataset:
+    """Candidate pairs from (band, band_hash, id) rows: ONE keyed exchange on
+    a small int bucket column co-locates equal buckets, then each block
+    builds its pairs with a vectorized lexsort + boundary scan (a per-bucket
+    ``map_groups`` pays pandas-DataFrame overhead per bucket — tens of
+    thousands of tiny groups made it the hottest stage).
+
+    ``all_pairs_cap`` > 0 emits all pairs inside buckets up to that size
+    (needed when x~y links must survive an unrelated smaller bucket-mate);
+    larger buckets — and always, when the cap is 0 — fall back to pairing
+    every member with the bucket minimum (hot-bucket quadratic guard)."""
+    from ..engine.dedup import _ray_cpus
+
+    buckets = num_partitions or max(8, _ray_cpus())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({'band': pa.array([], pa.int32()),
+                             'band_hash': pa.array([], pa.uint64()),
+                             id_col: pa.array([], pa.int64()),
+                             '__bucket': pa.array([], pa.int64())})
+        bh = t['band_hash'].to_numpy(zero_copy_only=False)
+        b = t['band'].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mix = (bh * np.uint64(0x9E3779B97F4A7C15) + b) % np.uint64(buckets)
+        return t.append_column('__bucket', pa.array(mix.astype(np.int64)))
+
+    ds = band_ds.map_batches(add_bucket, batch_format='pyarrow')
+    ds = ds.repartition(buckets, keys=['__bucket'], sort=False)
+
+    def pairs_in_block(t: pa.Table) -> pa.Table:
+        e = pa.array([], pa.int64())
+        if t.num_rows == 0 or 'band' not in t.column_names:
+            return pa.table({'id_a': e, 'id_b': e})
+        band = t['band'].to_numpy(zero_copy_only=False)
+        bh = t['band_hash'].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, bh, band))
+        band, bh, ids = band[order], bh[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, (np.diff(band) != 0) | (np.diff(bh) != 0)])
+        ends = np.r_[starts[1:], len(ids)]
+        out_a, out_b = [], []
+        for s, epos in zip(starts, ends):
+            n = epos - s
+            if n < 2:
+                continue
+            grp = ids[s:epos]
+            if 0 < n <= all_pairs_cap:
+                ii, jj = np.triu_indices(n, k=1)
+                out_a.append(grp[ii])
+                out_b.append(grp[jj])
+            else:
+                out_a.append(np.full(n - 1, grp[0]))
+                out_b.append(grp[1:])
+        if not out_a:
+            return pa.table({'id_a': e, 'id_b': e})
+        out = pa.table({'id_a': pa.array(np.concatenate(out_a)),
+                        'id_b': pa.array(np.concatenate(out_b))})
+        from ..engine.kernels import table_distinct
+        return table_distinct(out)
+
+    return ds.map_batches(pairs_in_block, batch_format='pyarrow', batch_size=None)
 
 
 def min_label_clusters(pairs: ray.data.Dataset, id_col: str = 'doc_id', rounds: int = 3,
@@ -164,7 +218,7 @@ def min_label_clusters(pairs: ray.data.Dataset, id_col: str = 'doc_id', rounds: 
     node gets cluster label = min reachable id after ``rounds`` of min-label
     propagation.  Fully in the data plane — each round is one keyed join +
     groupby-min (no driver-side label map, which would OOM at 100 TB)."""
-    pairs = pairs.select_columns(['id_a', 'id_b']).materialize()
+    pairs = pairs.select_columns(['id_a', 'id_b'])
 
     # directed edges both ways: (node, nbr).  Empty blocks can arrive
     # schema-less out of groupby/filter stages; rebuild them schema-complete
@@ -333,22 +387,10 @@ def embedding_neardup_clusters(ds: ray.data.Dataset, id_col: str = 'vec_id',
         _SignLSHKernel, fn_constructor_args=(dim, num_hyperplanes, bands, seed, id_col, vec_col),
         batch_format='pyarrow', concurrency=2, batch_size=4096)
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g[id_col].tolist()))
-        if len(ids) < 2:
-            return pd.DataFrame({'id_a': pd.Series(dtype='int64'),
-                                 'id_b': pd.Series(dtype='int64')})
-        if len(ids) <= 64:
-            # all pairs inside small buckets (bucket-min pairing would miss
-            # x~y links whenever an unrelated smaller id shares the bucket)
-            a, b = zip(*[(x, y) for xi, x in enumerate(ids) for y in ids[xi + 1:]])
-            return pd.DataFrame({'id_a': list(a), 'id_b': list(b)})
-        # hot-bucket guard: quadratic blowup capped by star-pairing on the min
-        m = ids[0]
-        return pd.DataFrame({'id_a': [m] * (len(ids) - 1), 'id_b': ids[1:]})
-
-    pairs = band_ds.groupby(['band', 'band_hash']).map_groups(pairs_in_bucket,
-                                                              batch_format='pandas')
+    # all pairs inside small buckets (bucket-min pairing would miss x~y links
+    # whenever an unrelated smaller id shares a bucket); hot buckets degrade
+    # to star-pairing on the bucket minimum
+    pairs = _bucket_pairs(band_ds, id_col, all_pairs_cap=64)
     pairs = distinct(pairs, ['id_a', 'id_b'])
 
     # exact cosine verification: two keyed joins ship vectors only to pairs.

@@ -33,7 +33,31 @@ def read_parquet_clean(paths, columns=None, **kwargs) -> ray.data.Dataset:
     blob; ``pyarrow.Schema.__hash__`` raises on it ("unhashable type: dict"),
     which makes Ray's block-concat schema dedup log a warning per batch.
     Stripping the metadata right after the scan keeps logs clean and costs
-    one metadata-only op per block (fused with the read)."""
+    one metadata-only op per block (fused with the read).
+
+    Small inputs additionally cap the block split: Ray targets ~2x-CPU
+    parallelism regardless of size, which shreds a KB-scale file into dozens
+    of near-empty blocks and turns every downstream stage into pure task
+    overhead.  Inputs above the threshold keep Ray's own streaming split."""
+    if 'override_num_blocks' not in kwargs:
+        try:
+            import pyarrow.parquet as _pq
+            files = []
+            for p in ([paths] if isinstance(paths, str) else list(paths)):
+                if os.path.isdir(p):
+                    files += [os.path.join(r, f) for r, _, fs in os.walk(p)
+                              for f in fs if f.endswith('.parquet')]
+                elif os.path.exists(p):
+                    files.append(p)
+            if files and len(files) <= 64:  # metadata probe only for few-file inputs
+                rows = sum(_pq.read_metadata(f).num_rows for f in files)
+                import multiprocessing
+                cap = 2 * (multiprocessing.cpu_count() or 8)
+                want = max(1, min(rows // 20_000, cap))
+                if want < cap:  # small table: stop Ray shredding it to 2x-CPU blocks
+                    kwargs['override_num_blocks'] = want
+        except OSError:
+            pass
     ds = ray.data.read_parquet(paths, columns=columns, **kwargs)
 
     def strip(t: pa.Table) -> pa.Table:

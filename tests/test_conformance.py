@@ -56,3 +56,22 @@ def test_yarrrml_complex_matches_golden(ray_session):
     ours = triples_set_to_quads(materialize_set(cfg))
     golden = parse_nquads(open(os.path.join(tc, 'output.nq'), encoding='utf-8').read())
     assert graphs_equal(ours, golden)
+
+
+def test_tabular_views_concurrent_pipelines(ray_session):
+    """Two pipelines with DIFFERENT source_base_dirs built and consumed
+    interleaved: the DuckDB view evaluation must not mutate process-global
+    state (the old os.chdir around view SQL raced exactly here)."""
+    import threading
+
+    from tc_harness import run_tc
+
+    results = {}
+
+    def run(name, tc):
+        results[name] = run_tc(tc)
+
+    t1 = threading.Thread(target=run, args=('a', '/root/reference/test/rml-tv/RMLTVTC0003b'))
+    t2 = threading.Thread(target=run, args=('b', '/root/reference/test/rml-core/csv/RMLTC0001a'))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert len(results['a']) > 0 and len(results['b']) > 0
