@@ -89,7 +89,9 @@ def main() -> None:
     read_parquet_clean(pages_dir, columns=['url']).count()
 
     t0 = time.time()
-    pages = read_parquet_clean(pages_dir, columns=['url', 'warc_ts', 'html', 'lang'])
+    # html extraction is compute-bound: many blocks so every CPU gets tasks
+    pages = read_parquet_clean(pages_dir, columns=['url', 'warc_ts', 'html', 'lang'],
+                               override_num_blocks=2 * NUM_CPUS)
     triples = web_kg_triples(pages, concurrency=max(2, int(NUM_CPUS * 0.6)), batch_size=512)
     n_triples = triples.count()
     headline_sec = time.time() - t0

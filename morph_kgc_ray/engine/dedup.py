@@ -157,7 +157,8 @@ def distinct_in_place(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset
     return mat.map_batches(keep, batch_format='pyarrow')
 
 
-def distinct(ds: ray.data.Dataset, cols: list[str], num_partitions: int | None = None) -> ray.data.Dataset:
+def distinct(ds: ray.data.Dataset, cols: list[str], num_partitions: int | None = None,
+             local_first: bool = True, coalesce: bool = True) -> ray.data.Dataset:
     """Globally exact distinct over ``cols`` (which must be all columns).
 
     Implementation: coalesce blocks, add a 64-bit row-hash bucket column
@@ -165,7 +166,13 @@ def distinct(ds: ray.data.Dataset, cols: list[str], num_partitions: int | None =
     (equal rows share a bucket), then drop duplicates per bucket group.
     Benchmarked ~1.7-2.6x faster than Ray's hash-shuffle keyed repartition on
     wide string rows at both 8 and 32 CPUs; bucket count = 2x CPUs bounds
-    skew while keeping per-group work chunky."""
+    skew while keeping per-group work chunky.
+
+    ``local_first=False`` skips the pre-exchange block-local distinct — pass
+    it when the producer already emits block-locally-distinct batches (e.g.
+    the web emit kernel), the stage would re-sort every wide row for nothing.
+    ``coalesce=False`` skips the block-count coalesce exchange when the input
+    is already reasonably sized (≤ ~2 blocks per CPU)."""
     import pandas as pd
 
     cols = list(cols)
@@ -173,8 +180,10 @@ def distinct(ds: ray.data.Dataset, cols: list[str], num_partitions: int | None =
     ncpu = _ray_cpus()
     buckets = num_partitions or max(8, ncpu * 2)
 
-    ds = ds.map_batches(_local_distinct(cols), batch_format='pyarrow')
-    ds = ds.repartition(max(2, ncpu))  # coalesce: exchange cost scales with block count
+    if local_first:
+        ds = ds.map_batches(_local_distinct(cols), batch_format='pyarrow')
+    if coalesce:
+        ds = ds.repartition(max(2, ncpu))  # coalesce: exchange cost scales with block count
 
     def _schema_empty() -> pa.Table:
         data = {c: pa.array([], pa.large_string()) for c in cols}

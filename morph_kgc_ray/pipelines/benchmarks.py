@@ -283,7 +283,9 @@ def web_kg_construction(sf_dir: str):
     from .web import web_kg_triples
     sf = sf_dir.rstrip('/').rsplit('sf', 1)[-1]
     rows = {'0.001': 1000, '0.01': 5000, '0.1': 20000}.get(sf, 2000)
-    pages = read_parquet_clean(pages_parquet_dir(rows), columns=['url', 'warc_ts', 'html', 'lang'])
+    from ..engine.dedup import _ray_cpus
+    pages = read_parquet_clean(pages_parquet_dir(rows), columns=['url', 'warc_ts', 'html', 'lang'],
+                               override_num_blocks=2 * _ray_cpus())
     return web_kg_triples(pages, concurrency=4)
 
 

@@ -51,9 +51,13 @@ def read_parquet_clean(paths, columns=None, **kwargs) -> ray.data.Dataset:
                     files.append(p)
             if files and len(files) <= 64:  # metadata probe only for few-file inputs
                 rows = sum(_pq.read_metadata(f).num_rows for f in files)
+                size = sum(os.path.getsize(f) for f in files)
                 import multiprocessing
                 cap = 2 * (multiprocessing.cpu_count() or 8)
-                want = max(1, min(rows // 20_000, cap))
+                # block target: ≥20k rows AND ≥16 MB per block, whichever
+                # yields more blocks (wide-row tables like web pages hit the
+                # byte bound long before the row bound)
+                want = max(1, min(cap, max(rows // 20_000, size >> 24)))
                 if want < cap:  # small table: stop Ray shredding it to 2x-CPU blocks
                     kwargs['override_num_blocks'] = want
         except OSError:
