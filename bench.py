@@ -40,7 +40,7 @@ BENCH_QUERIES = [
 
 def run_scaling() -> None:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY='1')
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout
@@ -48,8 +48,11 @@ def run_scaling() -> None:
 
     lo, hi = 8, 32
     # larger corpus for the scaling measurement so compute dominates the
-    # fixed per-session costs (actor/aggregator startup) at both levels
-    os.environ.setdefault('GRAFT_HEADLINE_ROWS', '600000')
+    # fixed per-session costs (actor/aggregator startup) at both levels —
+    # sized so the 32-CPU run still takes >60s with the round-2 kernels
+    # (the criterion is throughput scaling on identical input; at 100 TB the
+    # fixed session cost is noise, which a too-small corpus misrepresents)
+    os.environ.setdefault('GRAFT_HEADLINE_ROWS', '1500000')
     r_lo, r_hi = run(lo), run(hi)
     t_lo, t_hi = r_lo['value'], r_hi['value']
     eff = (t_lo / t_hi) / (hi / lo)
@@ -98,6 +101,15 @@ def main() -> None:
 
     # ---- per-query timings over the sf dir ----
     per_query = {}
+    if os.environ.get('GRAFT_HEADLINE_ONLY'):
+        print(json.dumps({
+            'metric': 'web KG construction end-to-end (headline only)',
+            'value': round(headline_sec, 3), 'unit': 'sec', 'sf': _SF,
+            'num_cpus': NUM_CPUS, 'headline_rows': HEADLINE_ROWS,
+            'headline_triples': n_triples,
+            'triples_per_sec': round(n_triples / headline_sec, 1)}))
+        ray.shutdown()
+        return
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         t0 = time.time()

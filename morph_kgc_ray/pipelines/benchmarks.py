@@ -137,6 +137,14 @@ def token_count_documents(sf_dir: str):
     return text_ops.token_count(ds).select_columns(['doc_id', 'n_tokens'])
 
 
+def token_count_bpe_documents(sf_dir: str):
+    """BPE-ish pre-tokenizer counts (letter runs / digit runs / punctuation)
+    — both sides RE2, so the DuckDB oracle counts the identical matches."""
+    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
+    return text_ops.token_count(ds, mode='bpeish', out_col='n_bpe_tokens') \
+        .select_columns(['doc_id', 'n_bpe_tokens'])
+
+
 def quality_stats_documents(sf_dir: str):
     ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
     out = text_ops.quality_stats(ds)
@@ -297,6 +305,7 @@ QUERIES = {
     'rml_documents_lang': rml_documents_lang,
     'dedup_exact_documents': dedup_exact_documents,
     'token_count_documents': token_count_documents,
+    'token_count_bpe_documents': token_count_bpe_documents,
     'quality_stats_documents': quality_stats_documents,
     'lang_count_documents': lang_count_documents,
     'events_hourly_user_agg': events_hourly_user_agg,
@@ -361,6 +370,12 @@ ORACLE_SQL = {
         SELECT doc_id,
                CASE WHEN trim(text) = '' THEN 0
                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        FROM documents
+    ''',
+    'token_count_bpe_documents': r'''
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                 AS n_bpe_tokens
         FROM documents
     ''',
     'quality_stats_documents': r'''

@@ -192,16 +192,29 @@ class TripleEmitKernel:
 def web_kg_triples(pages: ray.data.Dataset, gazetteer: dict[str, str] | None = None,
                    concurrency: 'int | tuple' = 4, batch_size: int = 256,
                    dedup_partitions: 'int | None' = None,
-                   emit_text_literal: bool = False) -> ray.data.Dataset:
-    """Deduped triples Dataset (partition, subject, predicate, object)."""
+                   emit_text_literal: bool = False,
+                   dedup_strategy: str = 'exchange') -> ray.data.Dataset:
+    """Deduped triples Dataset (partition, subject, predicate, object).
+
+    ``dedup_strategy='exchange'`` (default) shuffles the rows keyed on a
+    row-hash bucket; ``'in_place'`` exchanges only 20-byte row hashes — the
+    triple payload never crosses the wire, so dedup cost scales with the
+    CROSS-BLOCK DUPLICATE volume (pick it when rows are wide, e.g.
+    ``emit_text_literal=True``).  Measured on this corpus the two are within
+    noise of each other at both 8 and 32 CPUs (duplicate rate is low and
+    rows are short)."""
     gaz_ref = ray.put(gazetteer or default_gazetteer())
     emitted = pages.map_batches(
         TripleEmitKernel, fn_constructor_args=(gaz_ref, emit_text_literal),
         batch_format='pyarrow', concurrency=concurrency, batch_size=batch_size)
+    cols = ['partition', 'subject', 'predicate', 'object']
+    if dedup_strategy == 'in_place':
+        from ..engine.dedup import distinct_in_place
+        return distinct_in_place(emitted, cols)
     # the emit kernel's batches are already block-locally distinct and the
     # read is sized to ~2 blocks/CPU: go straight to the bucket exchange
-    return distinct(emitted, ['partition', 'subject', 'predicate', 'object'],
-                    num_partitions=dedup_partitions, local_first=False, coalesce=False)
+    return distinct(emitted, cols, num_partitions=dedup_partitions,
+                    local_first=False, coalesce=False)
 
 
 def write_web_kg(pages: ray.data.Dataset, out_dir: str, resume: bool = True,
