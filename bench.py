@@ -48,11 +48,8 @@ def run_scaling() -> None:
 
     lo, hi = 8, 32
     # larger corpus for the scaling measurement so compute dominates the
-    # fixed per-session costs (actor/aggregator startup) at both levels —
-    # sized so the 32-CPU run still takes >60s with the round-2 kernels
-    # (the criterion is throughput scaling on identical input; at 100 TB the
-    # fixed session cost is noise, which a too-small corpus misrepresents)
-    os.environ.setdefault('GRAFT_HEADLINE_ROWS', '1500000')
+    # fixed per-session costs (worker/aggregator startup) at both levels
+    os.environ.setdefault('GRAFT_HEADLINE_ROWS', '600000')
     r_lo, r_hi = run(lo), run(hi)
     t_lo, t_hi = r_lo['value'], r_hi['value']
     eff = (t_lo / t_hi) / (hi / lo)
@@ -92,10 +89,17 @@ def main() -> None:
     read_parquet_clean(pages_dir, columns=['url']).count()
 
     t0 = time.time()
-    # html extraction is compute-bound: many blocks so every CPU gets tasks
+    # html extraction is compute-bound: fixed ~6000 pages (~12 MB) per block
+    # regardless of CPU count, so both scaling levels process the IDENTICAL
+    # block structure and no level holds oversized task outputs in memory
+    nblocks = max(2 * NUM_CPUS, HEADLINE_ROWS // 6000)
     pages = read_parquet_clean(pages_dir, columns=['url', 'warc_ts', 'html', 'lang'],
-                               override_num_blocks=2 * NUM_CPUS)
-    triples = web_kg_triples(pages, concurrency=max(2, int(NUM_CPUS * 0.6)), batch_size=512)
+                               override_num_blocks=nblocks)
+    # task-form emit stage (concurrency=None): fused with the read, no
+    # actor pool to size; override via GRAFT_CONC_FRAC for the actor variant
+    conc_frac = os.environ.get('GRAFT_CONC_FRAC')
+    conc = max(2, int(NUM_CPUS * float(conc_frac))) if conc_frac else None
+    triples = web_kg_triples(pages, concurrency=conc, batch_size=512)
     n_triples = triples.count()
     headline_sec = time.time() - t0
 

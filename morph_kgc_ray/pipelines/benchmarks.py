@@ -294,7 +294,7 @@ def web_kg_construction(sf_dir: str):
     from ..engine.dedup import _ray_cpus
     pages = read_parquet_clean(pages_parquet_dir(rows), columns=['url', 'warc_ts', 'html', 'lang'],
                                override_num_blocks=2 * _ray_cpus())
-    return web_kg_triples(pages, concurrency=4)
+    return web_kg_triples(pages)
 
 
 QUERIES = {

@@ -189,8 +189,28 @@ class TripleEmitKernel:
         return table_distinct(out)
 
 
+_KERNEL_CACHE: dict = {}
+
+
+def _emit_fn(gaz_ref, emit_text_literal: bool):
+    """Task-form wrapper around TripleEmitKernel with a per-worker-process
+    kernel cache: same amortization as an actor pool (regexes compiled once
+    per process, gazetteer fetched once), but the stage stays a TASK so Ray
+    fuses read->extract->emit->local-dedup into one task chain — the html
+    payload never round-trips through the object store between stages."""
+    key = (gaz_ref.hex() if gaz_ref is not None else None, emit_text_literal)
+
+    def fn(t: pa.Table) -> pa.Table:
+        kernel = _KERNEL_CACHE.get(key)
+        if kernel is None:
+            kernel = TripleEmitKernel(gaz_ref, emit_text_literal)
+            _KERNEL_CACHE[key] = kernel
+        return kernel(t)
+    return fn
+
+
 def web_kg_triples(pages: ray.data.Dataset, gazetteer: dict[str, str] | None = None,
-                   concurrency: 'int | tuple' = 4, batch_size: int = 256,
+                   concurrency: 'int | tuple | None' = None, batch_size: int = 256,
                    dedup_partitions: 'int | None' = None,
                    emit_text_literal: bool = False,
                    dedup_strategy: str = 'exchange') -> ray.data.Dataset:
@@ -204,9 +224,15 @@ def web_kg_triples(pages: ray.data.Dataset, gazetteer: dict[str, str] | None = N
     noise of each other at both 8 and 32 CPUs (duplicate rate is low and
     rows are short)."""
     gaz_ref = ray.put(gazetteer or default_gazetteer())
-    emitted = pages.map_batches(
-        TripleEmitKernel, fn_constructor_args=(gaz_ref, emit_text_literal),
-        batch_format='pyarrow', concurrency=concurrency, batch_size=batch_size)
+    if concurrency is None:
+        # task form (default): fuses with the read, no intermediate payload
+        # materialization; per-process kernel cache amortizes setup
+        emitted = pages.map_batches(_emit_fn(gaz_ref, emit_text_literal),
+                                    batch_format='pyarrow', batch_size=batch_size)
+    else:
+        emitted = pages.map_batches(
+            TripleEmitKernel, fn_constructor_args=(gaz_ref, emit_text_literal),
+            batch_format='pyarrow', concurrency=concurrency, batch_size=batch_size)
     cols = ['partition', 'subject', 'predicate', 'object']
     if dedup_strategy == 'in_place':
         from ..engine.dedup import distinct_in_place
