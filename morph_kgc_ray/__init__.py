@@ -21,27 +21,41 @@ from .config import Config
 from .engine.materializer import materialize_dataset, materialize_set, materialize_to_dir
 
 
+class _KafkaBatchSink:
+    """map_batches sink: one KafkaProducer per worker process (created in
+    __init__, reused across batches), one message per batch.  The driver
+    only aggregates the tiny count rows — triples never funnel through it."""
+
+    def __init__(self, topic: str, kafka_kwargs: dict):
+        from kafka import KafkaProducer  # optional dependency, like the reference
+        self.producer = KafkaProducer(**kafka_kwargs)
+        self.topic = topic
+
+    def __call__(self, batch):
+        import pyarrow as pa
+        if batch.num_rows:
+            # every triple gets its own ' .' terminator so each message is a
+            # complete N-Triples/N-Quads document (reference materialize_kafka)
+            payload = ' .\n'.join(batch['triple'].to_pylist()) + ' .'
+            self.producer.send(self.topic, payload.encode('utf-8'))
+            self.producer.flush()
+        return pa.table({'rows': pa.array([batch.num_rows], pa.int64())})
+
+
 def materialize_kafka(config, python_source=None, **kafka_kwargs):
     """Stream the materialized triples to Kafka (reference API parity:
-    __init__.py:86-114).  Consumes the Dataset with iter_batches on the
-    driver and sends one message per partition batch — per-worker producers
-    inside map_batches are the scale path once a broker exists."""
+    __init__.py:86-114) with per-worker producers inside ``map_batches`` —
+    each task publishes its own blocks, so the sink is as parallel as the
+    pipeline."""
     try:
-        from kafka import KafkaProducer  # optional dependency, like the reference
+        import kafka  # noqa: F401  (optional dependency, like the reference)
     except ImportError as e:  # pragma: no cover - kafka not in this container
         raise NotImplementedError('materialize_kafka requires kafka-python') from e
-    producer = KafkaProducer(**kafka_kwargs)
-    topic = kafka_kwargs.get('topic', 'triples')
-    n = 0
-    for batch in materialize_dataset(config, python_source).iter_batches(
-            batch_size=65536, batch_format='pyarrow'):
-        # every triple gets its own ' .' terminator so each message is a
-        # complete N-Triples/N-Quads document (reference materialize_kafka)
-        payload = ' .\n'.join(batch['triple'].to_pylist()) + ' .'
-        producer.send(topic, payload.encode('utf-8'))
-        n += batch.num_rows
-    producer.flush()
-    return n
+    topic = kafka_kwargs.pop('topic', 'triples')
+    counts = materialize_dataset(config, python_source).map_batches(
+        _KafkaBatchSink, fn_constructor_args=(topic, kafka_kwargs),
+        batch_format='pyarrow', batch_size=65536, concurrency=(1, 4)).take_all()
+    return sum(r['rows'] for r in counts)
 
 
 def materialize_oxigraph(config, python_source=None):

@@ -209,6 +209,16 @@ def embedding_neardup_pairs(sf_dir: str):
 # ---- non-SQL-expressible ops (rows-only checks) ----
 
 
+def jaccard_verified_pairs_documents(sf_dir: str):
+    """MinHash-LSH candidates filtered by exact character-3-gram Jaccard via
+    the bucketed text join (rows-only: per-pair set intersection is not
+    reasonably SQL-expressible)."""
+    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
+    pairs = dedup_ops.minhash_lsh_candidates(ds)
+    out = dedup_ops.verify_pairs_jaccard(pairs, ds, threshold=0.5)
+    return out.select_columns(['id_a', 'id_b'])
+
+
 def embedding_neardup_clusters(sf_dir: str):
     """Sign-LSH bucketed near-dup clustering over embeddings (scale path;
     rows-only check — LSH bucketing is not SQL-expressible)."""
@@ -314,6 +324,7 @@ QUERIES = {
     'ann_topk_embeddings': ann_topk_embeddings,
     'embedding_neardup_pairs': embedding_neardup_pairs,
     'embedding_neardup_clusters': embedding_neardup_clusters,
+    'jaccard_verified_pairs_documents': jaccard_verified_pairs_documents,
     'minhash_dedup_documents': minhash_dedup_documents,
     'simhash_documents': simhash_documents,
     'lang_id_documents': lang_id_documents,
