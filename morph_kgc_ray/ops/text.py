@@ -75,6 +75,40 @@ def quality_stats(ds: ray.data.Dataset, text_col: str = 'text') -> ray.data.Data
     return ds.map_batches(fn, batch_format='pyarrow')
 
 
+def quality_filter(ds: ray.data.Dataset, text_col: str = 'text', lang_col: str = 'lang',
+                   min_score: float = 0.8, min_tokens: int = 5,
+                   langs: 'tuple | list | None' = None) -> ray.data.Dataset:
+    """Pre-training corpus filter: language allowlist + heuristic quality
+    score threshold + minimum token count, all inside one vectorized
+    map_batches (filters compose into a single mask; rows never leave the
+    task).  The score is the same punctuation/digit/uppercase-density
+    heuristic as ``quality_stats``."""
+    lang_set = list(langs) if langs else None
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        n_chars = pc.cast(pc.utf8_length(col), pa.int64())
+        n_punct = pc.cast(pc.count_substring_regex(col, r'[^\w\s]'), pa.float64())
+        n_upper = pc.cast(pc.count_substring_regex(col, r'[A-Z]'), pa.float64())
+        n_digit = pc.cast(pc.count_substring_regex(col, r'[0-9]'), pa.float64())
+        nzf = pc.cast(pc.max_element_wise(n_chars, pa.scalar(1, pa.int64())), pa.float64())
+        score = pc.subtract(pa.scalar(1.0), pc.min_element_wise(
+            pa.scalar(1.0),
+            pc.divide(pc.add(pc.add(n_punct, n_digit),
+                             pc.multiply(n_upper, pa.scalar(0.5))), nzf)))
+        trimmed = pc.utf8_trim_whitespace(col)
+        n_tok = pc.if_else(pc.equal(trimmed, ''), pa.scalar(0, pa.int64()),
+                           pc.cast(pc.list_value_length(
+                               pc.split_pattern_regex(trimmed, r'\s+')), pa.int64()))
+        mask = pc.and_(pc.greater_equal(score, pa.scalar(float(min_score))),
+                       pc.greater_equal(n_tok, pa.scalar(min_tokens, pa.int64())))
+        if lang_set is not None:
+            mask = pc.and_(mask, pc.is_in(t[lang_col], value_set=pa.array(lang_set)))
+        return t.filter(mask)
+
+    return ds.map_batches(fn, batch_format='pyarrow')
+
+
 # --------------------------------------------------------------------------
 # language identification (stopword n-gram heuristic)
 # --------------------------------------------------------------------------

@@ -151,6 +151,18 @@ def quality_stats_documents(sf_dir: str):
     return out.select_columns(['doc_id', 'n_chars_computed', 'n_upper', 'n_digit'])
 
 
+def quality_filter_documents(sf_dir: str):
+    """Training-data quality filtering: keep docs in a language allowlist
+    whose heuristic quality score clears a threshold and that have enough
+    tokens — the canonical pre-training corpus filter, fully oracle-checked
+    (the score formula is replicated in SQL)."""
+    ds = read_parquet_clean(_p(sf_dir, 'documents'),
+                            columns=['doc_id', 'text', 'lang'])
+    out = text_ops.quality_filter(ds, min_score=0.8, min_tokens=5,
+                                  langs=('en', 'de', 'fr'))
+    return out.select_columns(['doc_id', 'lang'])
+
+
 def lang_count_documents(sf_dir: str):
     from ray.data.aggregate import Count, Sum
     ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['lang', 'n_chars'])
@@ -317,6 +329,7 @@ QUERIES = {
     'token_count_documents': token_count_documents,
     'token_count_bpe_documents': token_count_bpe_documents,
     'quality_stats_documents': quality_stats_documents,
+    'quality_filter_documents': quality_filter_documents,
     'lang_count_documents': lang_count_documents,
     'events_hourly_user_agg': events_hourly_user_agg,
     'top_customers': top_customers,
@@ -395,6 +408,19 @@ ORACLE_SQL = {
                length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
                length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
         FROM documents
+    ''',
+    'quality_filter_documents': r'''
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 1.0 - LEAST(1.0,
+                   ( (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                   + (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                   + 0.5 * (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+                   ) / GREATEST(length(text), 1)) AS score,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+          FROM documents WHERE lang IN ('en', 'de', 'fr'))
+        WHERE score >= 0.8 AND n_tok >= 5
     ''',
     'lang_count_documents': '''
         SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars

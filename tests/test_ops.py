@@ -171,3 +171,22 @@ def test_embedding_neardup(ray_session):
     clusters = embedding_neardup_clusters(ds, threshold=0.95, rounds=2).to_pandas()
     cl = dict(zip(clusters['vec_id'], clusters['cluster_id']))
     assert cl.get(1) == 0 and cl.get(3) == 2 and 4 not in cl
+
+
+def test_engine_sink_partial_resume_reexecutes_missing_partition(ray_session, tmp_path):
+    """Deleting one committed partition dir must re-execute ONLY that
+    partition on resume (the others skip via their manifests)."""
+    import os
+    import shutil
+    from morph_kgc_ray import Config, materialize_to_dir
+    cfg = Config({'DS': {'mappings': '/root/reference/test/rml-core/csv/RMLTC0009a/mapping.ttl'},
+                  'source_base_dir': '/root/reference', 'output_format': 'N-TRIPLES'})
+    out = str(tmp_path / 'out')
+    rep = materialize_to_dir(cfg, out, resume=False)
+    assert len(rep) >= 2 and not any(v['skipped'] for v in rep.values())
+    victim = sorted(os.listdir(out))[0]
+    shutil.rmtree(os.path.join(out, victim))
+    rep2 = materialize_to_dir(cfg, out, resume=True)
+    redone = {pid for pid, v in rep2.items() if not v['skipped']}
+    assert len(redone) == 1  # only the deleted partition re-ran
+    assert os.path.exists(os.path.join(out, victim, '_MANIFEST.json'))
