@@ -443,23 +443,38 @@ def embedding_neardup_clusters(ds: ray.data.Dataset, id_col: str = 'vec_id',
 # --------------------------------------------------------------------------
 
 class SimHashKernel:
-    """64-bit SimHash over word features; hash tables built per actor."""
+    """64-bit SimHash over word features.  The word -> ±1 bit-vector table is
+    a per-worker cache (words repeat heavily in natural text, so each word is
+    blake2b-hashed once per worker, not once per occurrence); per document
+    the signed sum is one counts @ matrix product over the UNIQUE words."""
+
+    _MAX_CACHE = 1 << 20
 
     def __init__(self, text_col: str = 'text'):
         self.text_col = text_col
+        self._cache: dict = {}
 
-    @staticmethod
-    def simhash64(text: str) -> int:
-        import hashlib
-        acc = np.zeros(64, dtype=np.int64)
-        for w in text.split():
+    def _wordvec(self, w: str) -> np.ndarray:
+        v = self._cache.get(w)
+        if v is None:
+            import hashlib
             h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), 'little')
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits.astype(bool), 1, -1)
+            bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            v = np.where(bits.astype(bool), 1, -1).astype(np.int32)
+            if len(self._cache) >= self._MAX_CACHE:
+                self._cache.clear()  # bound worker memory; rebuilds lazily
+            self._cache[w] = v
+        return v
+
+    def simhash64(self, text: str) -> int:
+        words = text.split()
+        if not words:
+            return 0
+        uniq, counts = np.unique(words, return_counts=True)
+        acc = counts @ np.stack([self._wordvec(w) for w in uniq])
         out = 0
-        for i in range(64):
-            if acc[i] > 0:
-                out |= 1 << i
+        for i in np.nonzero(acc > 0)[0]:
+            out |= 1 << int(i)
         return out
 
     def __call__(self, t: pa.Table) -> pa.Table:

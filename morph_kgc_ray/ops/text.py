@@ -118,6 +118,11 @@ _LANG_MARKERS = {
     'de': (' der ', ' und ', ' die ', ' ist ', ' das ', ' nicht ', ' ein '),
     'fr': (' le ', ' la ', ' et ', ' les ', ' des ', ' est ', ' une '),
     'es': (' el ', ' los ', ' las ', ' es ', ' una ', ' que ', ' por '),
+    'it': (' il ', ' che ', ' per ', ' non ', ' sono ', ' della ', ' anche '),
+    'pt': (' não ', ' uma ', ' com ', ' para ', ' mais ', ' como ', ' dos '),
+    'nl': (' het ', ' een ', ' van ', ' niet ', ' zijn ', ' voor ', ' ook '),
+    # CJK has no word spacing: bare high-frequency function characters
+    'zh': ('的', '是', '了', '在', '和', '不', '我'),
 }
 
 
