@@ -74,7 +74,8 @@ def _ray_cpus(default: int = 8) -> int:
     return os.cpu_count() or default
 
 
-def distinct_in_place(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
+def distinct_in_place(ds: ray.data.Dataset, cols: list[str],
+                      local_first: bool = True) -> ray.data.Dataset:
     """Exact distinct that never shuffles the payload.
 
     1. per block: local distinct + two 64-bit row hashes (h1,h2) + a unique
@@ -100,7 +101,9 @@ def distinct_in_place(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset
     def prep(t: pa.Table) -> pa.Table:
         from .kernels import table_distinct
         import polars as pl
-        t = table_distinct(t.select(cols))
+        t = t.select(cols)
+        if local_first:  # skip when the producer already emits block-distinct batches
+            t = table_distinct(t)
         h1 = pl.from_arrow(t).hash_rows(seed=11).to_numpy().astype('uint64')
         h2 = pl.from_arrow(t).hash_rows(seed=13).to_numpy().astype('uint64')
         bid = uuid.uuid4().int & ((1 << 63) - 1)  # unique per batch; not part of output

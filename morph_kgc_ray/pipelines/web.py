@@ -236,7 +236,7 @@ def web_kg_triples(pages: ray.data.Dataset, gazetteer: dict[str, str] | None = N
     cols = ['partition', 'subject', 'predicate', 'object']
     if dedup_strategy == 'in_place':
         from ..engine.dedup import distinct_in_place
-        return distinct_in_place(emitted, cols)
+        return distinct_in_place(emitted, cols, local_first=False)
     # the emit kernel's batches are already block-locally distinct and the
     # read is sized to ~2 blocks/CPU: go straight to the bucket exchange
     return distinct(emitted, cols, num_partitions=dedup_partitions,
