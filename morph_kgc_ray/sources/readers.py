@@ -117,6 +117,14 @@ def read_source(rule, references: list[str], config: Config, python_source=None,
                             null_ok_refs=null_ok_refs)
     if source_type == 'RDB':
         ds = _read_rdb(rule, references, config)
+    elif source_type == 'PGDB':
+        # property-graph sources (reference property_graph_db.py:9-28 runs a
+        # Cypher query through the neo4j driver); the driver is not in this
+        # container — the Ray shape would be ray.data.from_items over the
+        # query result records, parallelized per label/partition
+        raise NotImplementedError(
+            'Property-graph sources need the neo4j (or kuzu) driver; '
+            'not available in this environment.')
     elif rule['logical_source_type'] == RML_QUERY:
         ds = _read_tabular_view(rule, config)
     elif source_type == PARQUET:
