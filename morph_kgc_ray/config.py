@@ -25,6 +25,7 @@ _DEFAULTS = {
     'safe_percent_encoding': '',
     'mapping_partitioning': 'PARTIAL-AGGREGATIONS',
     'infer_sql_datatypes': 'no',
+    'strict_undefined_references': 'no',
     'udfs': '',
     # Ray-specific execution knobs (defaults sized for a 32-cpu node; scale-out
     # happens through Ray's scheduler, these are per-stage hints).
@@ -115,6 +116,13 @@ class Config:
 
     def infer_sql_datatypes(self) -> bool:
         return self._get('infer_sql_datatypes').lower() in ('yes', 'true', '1', 'on')
+
+    def strict_undefined_references(self) -> bool:
+        """W3C-strict: a reference matching nothing in a hierarchical source
+        aborts materialization (RMLTC0002c); default is the reference
+        engine's effective file behavior (data_file.py:163-165 fills missing
+        references with nulls, so the rule generates nothing)."""
+        return self._get('strict_undefined_references').lower() in ('yes', 'true', '1', 'on')
 
     def get_mapping_partitioning(self) -> str:
         v = self._get('mapping_partitioning').upper().replace('_', '-')

@@ -107,7 +107,8 @@ def read_source(rule, references: list[str], config: Config, python_source=None,
     block-locally deduped).  ``keep_order`` adds a ``__order`` column with the
     source row order (RML-CC collections are order-sensitive)."""
     references = sorted(set(references))
-    if rule['source_type'] in ('CSV', 'TSV', 'PARQUET', 'JSON', 'XML', 'FEATHER', 'ORC') \
+    if rule['source_type'] in ('CSV', 'TSV', 'PARQUET', 'JSON', 'XML', 'FEATHER', 'ORC',
+                               'DTA', 'XLSX', 'XLS', 'ODS', 'SAS7BDAT', 'XPT', 'SAV', 'ZSAV') \
             and rule['logical_source_type'] != RML_QUERY:
         rule = rule.copy()
         rule['logical_source_value'] = _resolve_path(rule, config)
@@ -133,11 +134,14 @@ def read_source(rule, references: list[str], config: Config, python_source=None,
         ds = _read_csv(rule, references, source_type)
     elif source_type == JSON:
         return _read_json(rule, references, na_values, keep_order=keep_order,
-                          null_ok_refs=null_ok_refs)
+                          null_ok_refs=null_ok_refs,
+                          strict=config.strict_undefined_references())
     elif source_type == XML:
-        return _read_xml(rule, references, na_values, keep_order=keep_order)
+        return _read_xml(rule, references, na_values, keep_order=keep_order,
+                         strict=config.strict_undefined_references())
     elif source_type == PYTHON_SOURCE:
-        ds = _read_python_source(rule, references, python_source)
+        ds = _read_python_source(rule, references, python_source,
+                                 strict=config.strict_undefined_references())
     elif source_type in ('FEATHER', 'ORC'):
         ds = _read_local_table(rule, source_type, references)
     elif source_type == 'DTA':
@@ -223,7 +227,7 @@ def _read_tabular_view(rule, config: Config) -> ray.data.Dataset:
     return ray.data.from_arrow(table)
 
 
-def _read_python_source(rule, references, python_source) -> ray.data.Dataset:
+def _read_python_source(rule, references, python_source, strict: bool = False) -> ray.data.Dataset:
     """In-memory dict/DataFrame/list/JSON-string sources (python_data.py:17-66)."""
     name = str(rule['logical_source_value'])[1:-1]  # strip '{' '}'
     if not python_source or name not in python_source:
@@ -242,7 +246,8 @@ def _read_python_source(rule, references, python_source) -> ray.data.Dataset:
             data = json.loads(data)
         if not isinstance(data, dict):
             raise ValueError('Found an invalid in-memory data structure.')
-        kernel = JsonIteratorKernel(rule['iterator'], references, project_full_reference=True)
+        kernel = JsonIteratorKernel(rule['iterator'], references, project_full_reference=True,
+                                    strict=strict)
         df = kernel.iterate_object(data)
     return ray.data.from_pandas(df) if len(df) else ray.data.from_pandas(df.astype(object))
 
@@ -277,9 +282,11 @@ class JsonIteratorKernel:
     of their list values, json_normalize, and drop rows with nulls."""
 
     def __init__(self, iterator: str, references: list[str], project_full_reference: bool = False,
-                 with_record_ids: bool = False, null_ok_refs: 'tuple | list' = ()):
+                 with_record_ids: bool = False, null_ok_refs: 'tuple | list' = (),
+                 strict: bool = False):
         self.with_record_ids = with_record_ids
         self.null_ok_refs = tuple(null_ok_refs)
+        self.strict = strict
         from jsonpath_ng.ext import parse as jsonpath_parse
         self.references = list(references)
         self.expr = jsonpath_parse(iterator)
@@ -303,6 +310,8 @@ class JsonIteratorKernel:
         top_keys = {r.split('.')[0] for r in self.references}
         null_ok = set(null_ok_refs)
         frames = []
+        seen_cols: set = set()
+        any_records = False
         for mi, m in enumerate(matches):
             proj = {k: v for k, v in m.items() if k in top_keys} if isinstance(m, dict) else m
             records = []
@@ -315,15 +324,36 @@ class JsonIteratorKernel:
                     continue
                 records.append(r)
             df = pd.json_normalize(records)
+            if len(records):
+                seen_cols.update(df.columns)
+                for r in records:
+                    seen_cols.update(r.keys())
+                any_records = True
             # references must match json_normalize's flattened column names
-            # exactly (reference semantics: a non-matching reference becomes
-            # an all-null column and its rule generates nothing)
+            # exactly (a reference matching SOME records projects per record;
+            # rows with nulls drop below)
             df = df.reindex(columns=self.references)
             df = df.dropna(axis=0, how='any',
                            subset=[r for r in self.references if r not in null_ok])
             if with_record_ids:
                 df['__record'] = mi
             frames.append(df)
+        # strict mode (W3C RMLTC0002c): a reference that appeared in NO
+        # record of the document aborts materialization.  The default mirrors
+        # the reference engine's effective file behavior (missing references
+        # fill with nulls, data_file.py:163-165 — the rule generates
+        # nothing); real-world corpus mappings rely on it (json/complex).
+        if self.strict and any_records:
+            # a reference whose TOP-LEVEL key exists in some record but whose
+            # nested projection differs merely yields no rows (e.g. the
+            # corpus 'complex' TC); only a completely unknown key is an error
+            never_seen = [r for r in self.references
+                          if r not in seen_cols and r.split('.')[0] not in seen_cols
+                          and r not in null_ok]
+            if never_seen:
+                raise ValueError(
+                    f'References {never_seen} not found in any record of the '
+                    'JSON source (invalid reference).')
         if not frames:
             cols = {r: pd.Series(dtype=object) for r in self.references}
             if with_record_ids:
@@ -368,13 +398,13 @@ class JsonIteratorKernel:
 
 
 def _read_json(rule, references, na_values, keep_order: bool = False,
-               null_ok_refs: 'tuple | list' = ()) -> ray.data.Dataset:
+               null_ok_refs: 'tuple | list' = (), strict: bool = False) -> ray.data.Dataset:
     path = rule['logical_source_value']
     # include_paths so record ids can be namespaced per file (multi-file glob
     # sources must not share __record ids across files)
     ds = ray.data.read_binary_files(path, include_paths=keep_order)
     kernel = JsonIteratorKernel(rule['iterator'], references, with_record_ids=keep_order,
-                                null_ok_refs=null_ok_refs)
+                                null_ok_refs=null_ok_refs, strict=strict)
     ds = ds.map_batches(kernel.__call__, batch_format='pandas')
     return ds.map_batches(_prologue_fn(references, na_values, keep_order=keep_order,
                                        null_ok_refs=null_ok_refs),
@@ -398,9 +428,10 @@ class XmlIteratorKernel:
     Multi-valued references explode (cartesian across references,
     data_file.py:250-251)."""
 
-    def __init__(self, iterator: str, references: list[str]):
+    def __init__(self, iterator: str, references: list[str], strict: bool = False):
         self.iterator = iterator
         self.references = list(references)
+        self.strict = strict
 
     @staticmethod
     def _iter_path(xpath: str) -> str:
@@ -441,6 +472,8 @@ class XmlIteratorKernel:
         from itertools import product
 
         rows = []
+        seen_refs: set = set()
+        any_nodes = False
         for blob in batch['bytes']:
             text = blob.decode('utf-8') if isinstance(blob, (bytes, bytearray)) else blob
             root = ET.fromstring(text)
@@ -449,26 +482,37 @@ class XmlIteratorKernel:
             ns = dict(px for ev, px in ET.iterparse(io.StringIO(text), events=('start-ns',)))
             it = self._iter_path(self.iterator)
             nodes = [root] if it == '.' else root.findall(it, ns)
+            any_nodes = any_nodes or bool(nodes)
             for node in nodes:
                 ref_values = []
                 ok = True
                 for ref in self.references:
                     vals = self._extract(node, ref, ns)
-                    if not vals:
+                    if vals:
+                        seen_refs.add(ref)
+                    else:
                         ok = False
-                        break
                     ref_values.append(vals)
                 if not ok:
                     continue
                 for combo in product(*ref_values):
                     rows.append(dict(zip(self.references, combo)))
+        # strict mode (W3C RMLTC0002c): a reference matching nothing on ANY
+        # iterator node aborts materialization
+        if self.strict and any_nodes:
+            never = [r for r in self.references if r not in seen_refs]
+            if never:
+                raise ValueError(
+                    f'References {never} matched no node in the XML source '
+                    '(invalid reference).')
         return pd.DataFrame(rows, columns=self.references, dtype=object)
 
 
-def _read_xml(rule, references, na_values, keep_order: bool = False) -> ray.data.Dataset:
+def _read_xml(rule, references, na_values, keep_order: bool = False,
+              strict: bool = False) -> ray.data.Dataset:
     path = rule['logical_source_value']
     ds = ray.data.read_binary_files(path)
-    kernel = XmlIteratorKernel(rule['iterator'], references)
+    kernel = XmlIteratorKernel(rule['iterator'], references, strict=strict)
     ds = ds.map_batches(kernel.__call__, batch_format='pandas')
     return ds.map_batches(_prologue_fn(references, na_values, keep_order=keep_order),
                           batch_format='pyarrow')

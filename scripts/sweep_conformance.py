@@ -34,10 +34,6 @@ ROOT = '/root/reference/test'
 KNOWN_SKIPS = (
     'RMLTC0002a_EXCEL',   # openpyxl not installed in this environment
     'RMLTC0002a_ODS',     # odfpy not installed
-    'RMLTC0002a_STATA',   # pandas read_stata needs full iterator support; niche
-    'json/RMLTC0002c',    # reference errors on missing reference; we emit 0 rows for that rule
-    'xml/RMLTC0002c',     # same
-    'json_dictionary/RMLIMTC0002c',  # same (in-memory variant)
     'RMLFNOTC0000-CSV',   # uuid() built-in is nondeterministic; golden pins one value
     # r2rml goldens inconsistent with the fork's own engine behavior: these
     # goldens keep W3C canonical-datatype forms (xsd:integer/double/date
@@ -70,6 +66,14 @@ INFER_DT_TCS = (
     'r2rml/R2RMLTC0016d',
 )
 
+# W3C "undefined reference" error TCs: run with strict_undefined_references
+# (default is the reference's effective file behavior — missing references
+# fill with nulls and the rule generates nothing, which real corpus mappings
+# like rml-core/json/complex rely on)
+STRICT_REF_TCS = (
+    'json/RMLTC0002c', 'xml/RMLTC0002c', 'json_dictionary/RMLIMTC0002c',
+)
+
 # e.g. GRAFT_PARTITIONING=MAXIMAL re-runs the sweep under the other
 # mapping-partition algorithm (results must be partition-invariant)
 EXTRA = ({'mapping_partitioning': os.environ['GRAFT_PARTITIONING']}
@@ -89,8 +93,10 @@ for suite in SUITES:
             if any(x in name for x in KNOWN_SKIPS):
                 continue
             if expects_error(d):
+                strict = ({'strict_undefined_references': 'yes'}
+                          if any(x in name for x in STRICT_REF_TCS) else None)
                 try:
-                    run_tc(d)
+                    run_tc(d, extra_options=strict)
                     raise AssertionError('expected an error, but materialization succeeded')
                 except AssertionError:
                     raise
