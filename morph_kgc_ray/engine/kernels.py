@@ -56,17 +56,47 @@ def get_references_in_template(template: str) -> list[str]:
 
 def parse_template_segments(template: str) -> list[tuple[str, str]]:
     """Split a template into alternating ('const', text) / ('ref', name)
-    segments.  Escaped braces in const segments become literal braces."""
-    aux = template.replace('\\{', '\x00').replace('\\}', '\x01')
+    segments.  Escaped braces (``\\{`` ``\\}``) become literal braces, inside
+    and outside references.  A direct scanner — sentinel-substitution tricks
+    corrupt templates that happen to contain the sentinel characters."""
     segments: list[tuple[str, str]] = []
-    pos = 0
-    for m in _REFERENCE_RX.finditer(aux):
-        if m.start() > pos:
-            segments.append(('const', aux[pos:m.start()].replace('\x00', '{').replace('\x01', '}')))
-        segments.append(('ref', m.group(1).replace('\x00', '{').replace('\x01', '}')))
-        pos = m.end()
-    if pos < len(aux):
-        segments.append(('const', aux[pos:].replace('\x00', '{').replace('\x01', '}')))
+    buf: list[str] = []
+    i, n = 0, len(template)
+    while i < n:
+        c = template[i]
+        if c == '\\' and i + 1 < n and template[i + 1] in '{}':
+            buf.append(template[i + 1])
+            i += 2
+            continue
+        if c == '{':
+            j = i + 1
+            ref: list[str] = []
+            closed = False
+            while j < n:
+                if template[j] == '\\' and j + 1 < n and template[j + 1] in '{}':
+                    ref.append(template[j + 1])
+                    j += 2
+                    continue
+                if template[j] == '}':
+                    closed = True
+                    break
+                ref.append(template[j])
+                j += 1
+            if closed and ref:  # '{}' is not a reference (regex was [^}]+)
+                if buf:
+                    segments.append(('const', ''.join(buf)))
+                    buf = []
+                segments.append(('ref', ''.join(ref)))
+                i = j + 1
+                continue
+            if closed:  # empty '{}' stays literal
+                buf.append('{}')
+                i = j + 1
+                continue
+        buf.append(c)
+        i += 1
+    if buf:
+        segments.append(('const', ''.join(buf)))
     return segments
 
 

@@ -1,0 +1,58 @@
+"""Property-based tests (hypothesis) for the pure term-materialization
+kernels: the vectorized implementations must agree with their obvious
+Python-reference counterparts on arbitrary inputs."""
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+texts = st.lists(st.text(max_size=60), min_size=0, max_size=25)
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts)
+def test_percent_encode_matches_urllib_quote(values):
+    from urllib.parse import quote
+
+    from morph_kgc_ray.engine.kernels import percent_encode_array
+    arr = pa.array(values, pa.large_string())
+    out = percent_encode_array(arr).to_pylist()
+    assert out == [quote(v, safe='') for v in values]
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts)
+def test_escape_chain_matches_sequential_python_replace(values):
+    from morph_kgc_ray.engine.kernels import _ESCAPE_CHAIN, escape_literal_array
+    arr = pa.array(values, pa.large_string())
+    out = escape_literal_array(arr).to_pylist()
+    expected = []
+    for v in values:
+        for old, new in _ESCAPE_CHAIN:
+            v = v.replace(old, new)
+        expected.append(v)
+    assert out == expected
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(allow_nan=False, allow_infinity=False, width=64))
+def test_xsd_canonical_double_roundtrips(x):
+    from morph_kgc_ray.engine.kernels import xsd_canonical_double
+    s = xsd_canonical_double(repr(x))
+    # canonical form must parse back to the same float and match the
+    # mantissa-E-exponent shape
+    assert float(s) == x
+    assert 'E' in s and '.' in s.split('E')[0]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(blacklist_characters='{}\\'), max_size=30),
+       st.text(alphabet=st.characters(whitelist_categories=('Ll',), max_codepoint=122),
+               min_size=1, max_size=8))
+def test_template_segments_roundtrip(const, ref):
+    from morph_kgc_ray.engine.kernels import parse_template_segments
+    template = const + '{' + ref + '}' + const
+    segs = parse_template_segments(template)
+    rebuilt = ''.join(v if k == 'const' else '{' + v + '}' for k, v in segs)
+    assert rebuilt == template
+    assert ('ref', ref) in segs
