@@ -17,6 +17,26 @@ from .engine.dedup import ensure_hash_shuffle
 # (before any Dataset exists).
 ensure_hash_shuffle()
 
+
+def _silence_schema_hash_noise() -> None:
+    """Parquet written by pandas carries a schema-metadata dict that makes
+    ``pyarrow.Schema`` unhashable; Ray's block-concat schema dedup then logs
+    "Failed to hash the schemas" once per block.  The condition is benign
+    (Ray falls through to full unification) and fires inside WORKER
+    processes before our metadata-stripping map fn runs — but workers import
+    this package when deserializing our map fns, so a filter installed at
+    import time covers them too."""
+    import logging as _logging
+
+    class _Noise(_logging.Filter):
+        def filter(self, record: _logging.LogRecord) -> bool:
+            return 'Failed to hash the schemas' not in record.getMessage()
+
+    _logging.getLogger('ray.data._internal.arrow_ops.transform_pyarrow').addFilter(_Noise())
+
+
+_silence_schema_hash_noise()
+
 from .config import Config
 from .engine.materializer import materialize_dataset, materialize_set, materialize_to_dir
 

@@ -161,7 +161,8 @@ def distinct_in_place(ds: ray.data.Dataset, cols: list[str],
 
 
 def distinct(ds: ray.data.Dataset, cols: list[str], num_partitions: int | None = None,
-             local_first: bool = True, coalesce: bool = True) -> ray.data.Dataset:
+             local_first: bool = True, coalesce: bool = True,
+             small: bool = False) -> ray.data.Dataset:
     """Globally exact distinct over ``cols`` (which must be all columns).
 
     Implementation: coalesce blocks, add a 64-bit row-hash bucket column
@@ -175,13 +176,30 @@ def distinct(ds: ray.data.Dataset, cols: list[str], num_partitions: int | None =
     it when the producer already emits block-locally-distinct batches (e.g.
     the web emit kernel), the stage would re-sort every wide row for nothing.
     ``coalesce=False`` skips the block-count coalesce exchange when the input
-    is already reasonably sized (≤ ~2 blocks per CPU)."""
+    is already reasonably sized (≤ ~2 blocks per CPU).
+    ``small=True`` is the plan-time small-input fast path: block-local
+    distinct, coalesce to ONE block (task-based streaming merge — no
+    hash-shuffle aggregator actors, whose per-execution spin-up costs seconds
+    regardless of data volume), final exact distinct in a single task.  Only
+    pass it when the caller KNOWS the source is small (e.g. plan-time file
+    sizes); at real scale the keyed exchange below is the right plan."""
     import pandas as pd
 
     cols = list(cols)
     ensure_hash_shuffle()
     ncpu = _ray_cpus()
     buckets = num_partitions or max(8, ncpu * 2)
+
+    def _final_local(t: pa.Table) -> pa.Table:
+        from .kernels import table_distinct
+        if t.num_rows == 0 or not set(cols) <= set(t.column_names):
+            return pa.table({c: pa.array([], pa.large_string()) for c in cols})
+        return table_distinct(t.select(cols))
+
+    if small:
+        ds = ds.map_batches(_local_distinct(cols), batch_format='pyarrow')
+        ds = ds.repartition(1)
+        return ds.map_batches(_final_local, batch_format='pyarrow', batch_size=None)
 
     if local_first:
         ds = ds.map_batches(_local_distinct(cols), batch_format='pyarrow')

@@ -518,6 +518,36 @@ def _copy_stage(src_col: str, dst_col: str):
 # top-level entry points
 # --------------------------------------------------------------------------
 
+# Below this total mapping-source volume the per-partition dedup takes the
+# single-task fast path instead of the keyed exchange: hash-shuffle
+# aggregator spin-up costs seconds per execution regardless of data size,
+# which dominates small jobs (conformance TCs, dimension tables).
+_SMALL_DISTINCT_BYTES = int(__import__('os').environ.get('MKR_SMALL_DISTINCT_BYTES',
+                                                         64 * 1024 * 1024))
+
+
+def _mapping_sources_small(rml_df, config: Config) -> bool:
+    """True when every logical source is file-backed and their total size is
+    below the small-distinct threshold (plan-time decision, no data read)."""
+    from ..sources.readers import estimate_rule_source_bytes
+    total = 0
+    seen: set = set()
+    for _, rule in rml_df.iterrows():
+        key = (rule.get('source_name'), rule.get('logical_source_value'))
+        if key in seen:
+            continue
+        seen.add(key)
+        if rule.get('source_type') == 'PYTHON_SOURCE':
+            continue  # in-memory sources are driver-held lists: small by construction
+        b = estimate_rule_source_bytes(rule, config)
+        if b is None:
+            return False  # unknown size (RDB/view): the exchange plan is always correct
+        total += b
+        if total > _SMALL_DISTINCT_BYTES:
+            return False
+    return True
+
+
 def _partition_datasets(config: Config, python_source=None, as_columns=False):
     """One deduped triples Dataset per mapping partition."""
     rml_df, fnml_df = retrieve_mappings(config)
@@ -528,6 +558,8 @@ def _partition_datasets(config: Config, python_source=None, as_columns=False):
         out_cols = ['subject', 'predicate', 'object']
         if config.get_output_format() == NQUADS:
             out_cols.append('graph')
+
+    small = _mapping_sources_small(asserted, config)
 
     partitions = {}
     group_cols = 'mapping_partition'
@@ -541,7 +573,8 @@ def _partition_datasets(config: Config, python_source=None, as_columns=False):
         if len(rule_datasets) > 1:
             ds = ds.union(*rule_datasets[1:])
         # the partition-disjointness theorem keeps this dedup partition-local
-        ds = distinct(ds, out_cols, num_partitions=config.get_dedup_partitions() or None)
+        ds = distinct(ds, out_cols, num_partitions=config.get_dedup_partitions() or None,
+                      small=small)
         partitions[str(partition_id)] = ds
     return partitions
 

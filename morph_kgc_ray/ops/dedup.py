@@ -212,12 +212,26 @@ def _bucket_pairs(band_ds: ray.data.Dataset, id_col: str, all_pairs_cap: int = 0
     return ds.map_batches(pairs_in_block, batch_format='pyarrow', batch_size=None)
 
 
-def min_label_clusters(pairs: ray.data.Dataset, id_col: str = 'doc_id', rounds: int = 3,
-                       num_partitions: int = 16) -> ray.data.Dataset:
+_LABEL_SENTINEL = 1 << 62
+
+
+def min_label_clusters(pairs: ray.data.Dataset, id_col: str = 'doc_id',
+                       rounds: 'int | None' = None, num_partitions: int = 16,
+                       max_rounds: int = 50) -> ray.data.Dataset:
     """Connected-component labels over a candidate-pair graph: each involved
-    node gets cluster label = min reachable id after ``rounds`` of min-label
-    propagation.  Fully in the data plane — each round is one keyed join +
-    groupby-min (no driver-side label map, which would OOM at 100 TB)."""
+    node gets cluster label = min id reachable in its component.  Fully in
+    the data plane — each round is one keyed join + groupby-min (no
+    driver-side label map, which would OOM at 100 TB).
+
+    By default propagation iterates TO CONVERGENCE: every round also carries
+    each node's previous label through the same exchange (a sentinel-tagged
+    union — no extra join), so the round's changed-label count is one cheap
+    aggregate; the loop stops when it hits zero.  A duplicate chain
+    A~B~...~Z therefore collapses into ONE cluster regardless of length
+    (up to ``max_rounds`` hops — min-label moves one hop per round; chains
+    longer than that log a warning and keep the partial labels).
+    ``rounds`` pins a fixed round count instead (skips the convergence
+    aggregate; for benchmarking)."""
     pairs = pairs.select_columns(['id_a', 'id_b'])
 
     # directed edges both ways: (node, nbr).  Empty blocks can arrive
@@ -246,27 +260,64 @@ def min_label_clusters(pairs: ray.data.Dataset, id_col: str = 'doc_id', rounds: 
             return pa.table({'node': e, 'label': e})
         return t.rename_columns(['node', 'label'])
 
+    def _as_rhs(t: pa.Table) -> pa.Table:
+        if t.num_columns != 2:
+            e = pa.array([], pa.int64())
+            return pa.table({'__lnode': e, 'label': e})
+        return t.rename_columns(['__lnode', 'label'])
+
+    def _tag_new(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or 'node' not in t.column_names:
+            e = pa.array([], pa.int64())
+            return pa.table({'node': e, 'label': e, 'old': e})
+        import numpy as np
+        return pa.table({'node': t['node'], 'label': t['label'],
+                         'old': pa.array(np.full(t.num_rows, _LABEL_SENTINEL,
+                                                 dtype=np.int64))})
+
+    def _tag_old(t: pa.Table) -> pa.Table:
+        return pa.table({'node': t['node'], 'label': t['label'], 'old': t['label']})
+
+    def _agg_rename(t: pa.Table) -> pa.Table:
+        if t.num_columns != 3:
+            e = pa.array([], pa.int64())
+            return pa.table({'node': e, 'label': e, 'old': e})
+        return t.rename_columns(['node', 'label', 'old'])
+
     labels = edges.groupby('node').min('nbr') \
                   .map_batches(_as_labels, batch_format='pyarrow') \
                   .map_batches(lambda t: t.set_column(
                       1, 'label', pc.min_element_wise(t['node'], t['label'])),
-                      batch_format='pyarrow')
+                      batch_format='pyarrow').materialize()
 
-    for _ in range(rounds - 1):
-        labels = labels.materialize()
+    converge = rounds is None
+    n_rounds = max_rounds if converge else max(0, rounds - 1)
+    for _ in range(n_rounds):
         # neighbor's current label: edges ⋈ labels on nbr  -> (node, label)
-        def _as_rhs(t: pa.Table) -> pa.Table:
-            if t.num_columns != 2:
-                e = pa.array([], pa.int64())
-                return pa.table({'__lnode': e, 'label': e})
-            return t.rename_columns(['__lnode', 'label'])
         rhs = labels.map_batches(_as_rhs, batch_format='pyarrow').repartition(num_partitions)
         nbr_labels = edges.join(rhs, 'inner', num_partitions,
                                 on=('nbr',), right_on=('__lnode',)) \
                           .select_columns(['node', 'label'])
-        labels = nbr_labels.union(labels.select_columns(['node', 'label'])) \
-                           .groupby('node').min('label') \
-                           .map_batches(_as_labels, batch_format='pyarrow')
+        from ray.data.aggregate import Min
+        agg = nbr_labels.map_batches(_tag_new, batch_format='pyarrow') \
+            .union(labels.map_batches(_tag_old, batch_format='pyarrow')) \
+            .groupby('node').aggregate(Min('label'), Min('old')) \
+            .map_batches(_agg_rename, batch_format='pyarrow').materialize()
+        labels = agg.map_batches(lambda t: t.select(['node', 'label']),
+                                 batch_format='pyarrow')
+        if converge:
+            changed = agg.map_batches(
+                lambda t: pa.table({'c': pa.array(
+                    [pc.sum(pc.less(t['label'], t['old'])).as_py() or 0], pa.int64())}),
+                batch_format='pyarrow').sum('c')
+            if not changed:
+                break
+    else:
+        if converge:
+            import logging
+            logging.getLogger(__name__).warning(
+                'min_label_clusters: not converged after %d rounds '
+                '(component diameter exceeds the cap); labels are partial', max_rounds)
 
     def rename(t: pa.Table) -> pa.Table:
         return t.rename_columns([id_col, 'cluster_id'])
@@ -274,7 +325,7 @@ def min_label_clusters(pairs: ray.data.Dataset, id_col: str = 'doc_id', rounds: 
 
 
 def minhash_dedup_clusters(ds: ray.data.Dataset, id_col: str = 'doc_id', text_col: str = 'text',
-                           num_perm: int = 64, bands: int = 16, rounds: int = 3,
+                           num_perm: int = 64, bands: int = 16, rounds: 'int | None' = None,
                            verify_threshold: 'float | None' = 0.5,
                            num_partitions: int = 16) -> ray.data.Dataset:
     """Near-duplicate clusters: banded-LSH candidates, exact n-gram Jaccard
@@ -376,7 +427,7 @@ class _SignLSHKernel:
 def embedding_neardup_clusters(ds: ray.data.Dataset, id_col: str = 'vec_id',
                                vec_col: str = 'embedding', threshold: float = 0.8,
                                num_hyperplanes: int = 64, bands: int = 16,
-                               rounds: int = 2, seed: int = 7,
+                               rounds: 'int | None' = None, seed: int = 7,
                                num_partitions: int = 16) -> ray.data.Dataset:
     """Scale path for embedding near-dup: sign-LSH banded buckets (one
     shuffle) -> bucket-min candidate pairs -> exact cosine verification via

@@ -239,7 +239,7 @@ def embedding_neardup_clusters(sf_dir: str):
 
 def minhash_dedup_documents(sf_dir: str):
     ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
-    return dedup_ops.minhash_dedup_clusters(ds, rounds=2)
+    return dedup_ops.minhash_dedup_clusters(ds)
 
 
 def simhash_documents(sf_dir: str):

@@ -100,6 +100,36 @@ def _resolve_path(rule, config: Config):
     return candidate
 
 
+def estimate_rule_source_bytes(rule, config: Config) -> 'int | None':
+    """Plan-time size of a rule's logical source in bytes, or None when the
+    source is not file-backed (RDB, views, in-memory) or unreadable.  Drives
+    plan choices like the small-input distinct fast path — a wrong None only
+    costs the (always-correct) exchange plan."""
+    if rule.get('source_type') not in ('CSV', 'TSV', 'PARQUET', 'JSON', 'XML',
+                                       'FEATHER', 'ORC', 'DTA'):
+        return None
+    if rule.get('logical_source_type') == RML_QUERY:
+        return None
+    path = _resolve_path(rule, config)
+    if not isinstance(path, str) or path.startswith(('http://', 'https://')):
+        return None
+    import glob as _glob
+    files: list[str] = []
+    if os.path.isdir(path):
+        for r, _, fs in os.walk(path):
+            files += [os.path.join(r, f) for f in fs]
+    elif os.path.exists(path):
+        files = [path]
+    elif any(ch in path for ch in '*?['):
+        files = _glob.glob(path)
+    if not files:
+        return None
+    try:
+        return sum(os.path.getsize(f) for f in files)
+    except OSError:
+        return None
+
+
 def read_source(rule, references: list[str], config: Config, python_source=None,
                 keep_order: bool = False, null_ok_refs: 'tuple | list' = ()) -> ray.data.Dataset:
     """Dataset of the rule's logical source, projected to ``references`` and

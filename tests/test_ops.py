@@ -41,6 +41,28 @@ def test_minhash_clusters_group_near_duplicates(docs_ds):
     assert clusters.get(4, 4) != 1
 
 
+def test_min_label_clusters_converges_on_long_chain(ray_session):
+    """A 6-node duplicate chain 1~2~3~4~5~6 must collapse into ONE cluster
+    with the default (convergence) config — fixed-round propagation would
+    split any chain longer than the round count."""
+    import ray.data as rd
+    from morph_kgc_ray.ops.dedup import min_label_clusters
+    pairs = rd.from_items([{'id_a': a, 'id_b': a + 1} for a in range(1, 6)])
+    out = min_label_clusters(pairs).to_pandas()
+    assert set(out['doc_id']) == {1, 2, 3, 4, 5, 6}
+    assert set(out['cluster_id']) == {1}
+
+
+def test_min_label_clusters_fixed_rounds_still_supported(ray_session):
+    import ray.data as rd
+    from morph_kgc_ray.ops.dedup import min_label_clusters
+    pairs = rd.from_items([{'id_a': a, 'id_b': a + 1} for a in range(1, 6)])
+    out = min_label_clusters(pairs, rounds=2).to_pandas()
+    # 2 rounds cannot traverse the whole chain: >1 cluster label survives
+    assert set(out['doc_id']) == {1, 2, 3, 4, 5, 6}
+    assert len(set(out['cluster_id'])) > 1
+
+
 def test_simhash_identical_docs_equal(docs_ds):
     from morph_kgc_ray.ops.dedup import simhash
     out = simhash(docs_ds).to_pandas()
