@@ -32,5 +32,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from morph_kgc_ray.pipelines.benchmarks import ORACLE_SQL
-    return dict(ORACLE_SQL)
+    from morph_kgc_ray.pipelines.benchmarks import get_oracle_sql
+    return get_oracle_sql()

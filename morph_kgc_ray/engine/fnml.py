@@ -267,7 +267,9 @@ def _make_pc_vec(kernel_name):
 VECTORIZED_BIFS = {
     f'{_GREL}toLowerCase': _make_pc_vec('utf8_lower'),
     f'{_GREL}toUpperCase': _make_pc_vec('utf8_upper'),
-    f'{_GREL}toTitleCase': _make_pc_vec('utf8_title'),
+    # toTitleCase is NOT vectorized: pc.utf8_title diverges from str.title()
+    # on special-casing ('ß'->'ẞ' vs 'Ss', digraphs 'ǳ'->'Ǳ' vs 'ǲ',
+    # ligatures 'ﬁ' left as-is vs 'Fi'), so the scalar bif is authoritative
     f'{_GREL}string_trim': _make_pc_vec('utf8_trim_whitespace'),
     f'{_GREL}reverse': _make_pc_vec('utf8_reverse'),
     f'{_GREL}string_replace': _vec_replace,
@@ -327,8 +329,8 @@ def execute_fnml(df: pd.DataFrame, fnml_df: pd.DataFrame, execution_id: str, con
         arrs = {k: pa.array(list(v), pa.large_string()) for k, v in series_args.items()}
         try:
             res = vec(**const_args, **arrs)
-        except TypeError:
-            res = None
+        except Exception:  # ArrowInvalid/ArrowNotImplementedError/TypeError:
+            res = None     # decline to the per-row scalar path, which may succeed
         if isinstance(res, (pa.Array, pa.ChunkedArray)):
             if isinstance(res, pa.ChunkedArray):
                 res = res.combine_chunks()

@@ -591,10 +591,17 @@ def _infer_sql_datatypes(rml_df: pd.DataFrame, config: Config) -> pd.DataFrame:
                 break
         if not decl:
             continue
-        # longest key first so TIMESTAMP/DATETIME win over their TIME substring
-        datatype = next((_SQL_RDF_DATATYPE[k]
-                         for k in sorted(_SQL_RDF_DATATYPE, key=len, reverse=True)
-                         if k in decl), None)
+        # exact match on the base type name (parenthesized length stripped:
+        # VARCHAR(30) -> VARCHAR) first — substring matching misclassifies
+        # declared types that merely CONTAIN a key (POINT contains INT,
+        # SERIAL contains REAL); fall back to longest-key substring so
+        # TIMESTAMP/DATETIME still win over their TIME substring
+        decl_base = re.sub(r'\(.*\)', '', decl).strip()
+        datatype = _SQL_RDF_DATATYPE.get(decl_base)
+        if datatype is None:
+            datatype = next((_SQL_RDF_DATATYPE[k]
+                             for k in sorted(_SQL_RDF_DATATYPE, key=len, reverse=True)
+                             if k in decl), None)
         if datatype is None:
             continue
         rml_df.at[i, 'inferred_datatype'] = datatype
@@ -744,6 +751,7 @@ def load_mapping_graph(text: 'str | list[str]') -> Graph:
     texts = [text] if isinstance(text, str) else list(text)
     triples: list = []
     base = None
+    doc_base: dict = {}  # subject str -> owning document's @base (first wins)
     for di, doc_text in enumerate(texts):
         tp = TurtleParser(doc_text)
         doc = tp.parse()
@@ -756,9 +764,17 @@ def load_mapping_graph(text: 'str | list[str]') -> Graph:
                 return term
             doc = [tuple(fix(x) for x in t) for t in doc]
         triples.extend(doc)
+        # per-DOCUMENT base: relative template/constant results of a rule
+        # resolve against the @base of the document that declared its
+        # triples map, not the first document's (reference: rdflib resolves
+        # per document at parse time)
+        this_base = tp.base or 'http://example.com/base/'
+        for s, _, _ in doc:
+            doc_base.setdefault(str(s), this_base)
         if base is None and tp.base:
             base = tp.base
     g = Graph(triples)
+    g.doc_base = doc_base
     # stash the document base IRI for relative-IRI resolution at term time
     if base is None and not _warned_default_base[0]:
         import logging
@@ -799,7 +815,8 @@ def retrieve_mappings(config: Config) -> tuple[pd.DataFrame, pd.DataFrame]:
                 texts.append(open(path, encoding='utf-8').read())
         g = load_mapping_graph(texts)
         rml_df, fnml_df = _extract_rules(g, section)
-        rml_df['base_iri'] = g.base
+        rml_df['base_iri'] = rml_df['triples_map_id'].map(
+            lambda tm: g.doc_base.get(str(tm), g.base))
         rml_dfs.append(rml_df)
         fnml_dfs.append(fnml_df)
 

@@ -112,12 +112,19 @@ def minhash_signatures(ds: ray.data.Dataset, num_perm: int = 64, k: int = 5,
 
 
 def minhash_lsh_candidates(ds: ray.data.Dataset, id_col: str = 'doc_id', num_perm: int = 64,
-                           bands: int = 16, text_col: str = 'text') -> ray.data.Dataset:
+                           bands: int = 16, text_col: str = 'text',
+                           all_pairs_cap: int = 64) -> ray.data.Dataset:
     """Candidate near-duplicate pairs via banded LSH.
 
     Pipeline: signatures (actor pool) -> explode to (band, band_hash, id)
     -> groupby band bucket -> pairs within bucket.  Returns columns
-    (id_a, id_b) with id_a < id_b, distinct."""
+    (id_a, id_b) with id_a < id_b, distinct.
+
+    ``all_pairs_cap``: buckets up to this size emit ALL member pairs (a
+    near-dup group of size >= 3 shares every band bucket, and star-pairing
+    alone would omit its non-min pairs); hot buckets beyond the cap degrade
+    to star-pairing on the bucket minimum (quadratic guard) — connectivity
+    is preserved either way, only pair-level completeness needs the cap."""
     rows_per_band = num_perm // bands
     sig_ds = minhash_signatures(ds.select_columns([id_col, text_col]), num_perm=num_perm,
                                 text_col=text_col)
@@ -144,7 +151,7 @@ def minhash_lsh_candidates(ds: ray.data.Dataset, id_col: str = 'doc_id', num_per
                          id_col: pa.array(np.concatenate(out_id))})
 
     band_ds = sig_ds.map_batches(explode_bands, batch_format='pyarrow')
-    pairs = _bucket_pairs(band_ds, id_col, all_pairs_cap=0)
+    pairs = _bucket_pairs(band_ds, id_col, all_pairs_cap=all_pairs_cap)
     return distinct(pairs, ['id_a', 'id_b'])
 
 
@@ -328,10 +335,11 @@ def minhash_dedup_clusters(ds: ray.data.Dataset, id_col: str = 'doc_id', text_co
                            num_perm: int = 64, bands: int = 16, rounds: 'int | None' = None,
                            verify_threshold: 'float | None' = 0.5,
                            num_partitions: int = 16) -> ray.data.Dataset:
-    """Near-duplicate clusters: banded-LSH candidates, exact n-gram Jaccard
-    verification via a bucketed JOIN against the doc texts (no corpus
+    """Near-duplicate clusters: banded-LSH candidates, exact 5-word-shingle
+    Jaccard verification via a bucketed JOIN against the doc texts (no corpus
     broadcast; drops LSH false positives before they merge unrelated
-    clusters), then join-based min-label propagation."""
+    clusters), then join-based min-label propagation iterated to
+    convergence."""
     pairs = minhash_lsh_candidates(ds, id_col=id_col, num_perm=num_perm, bands=bands,
                                    text_col=text_col)
     if verify_threshold is not None:
@@ -353,20 +361,35 @@ def _vec_normalize(m: np.ndarray) -> np.ndarray:
 
 
 def embedding_neardup_pairs(ds: ray.data.Dataset, id_col: str = 'vec_id',
-                            vec_col: str = 'embedding',
-                            threshold: float = 0.9) -> ray.data.Dataset:
+                            vec_col: str = 'embedding', threshold: float = 0.9,
+                            corpus_cap: int = 2_000_000) -> ray.data.Dataset:
     """EXACT cosine near-duplicate pairs (id_a < id_b, cosine >= threshold).
 
-    Baseline exact path: the normalized corpus matrix is broadcast once
-    (ray.put) and every batch matmuls against it — O(n^2) compute distributed
-    over batches, zero shuffles.  Right for dimension-scale corpora and as
-    the recall oracle; at 100 TB use ``embedding_neardup_clusters`` (sign-LSH
-    bucketed candidates + verification)."""
+    Baseline exact path: the normalized corpus matrix is built by STREAMING
+    Arrow batches (never driver-side row dicts), broadcast once (ray.put),
+    and every batch matmuls against it — O(n^2) compute distributed over
+    batches, zero shuffles.  Right for dimension-scale corpora and as the
+    recall oracle.  ``corpus_cap`` guards the driver: corpora beyond it
+    raise with a pointer to ``embedding_neardup_clusters`` (sign-LSH
+    bucketed candidates + verification), the 100-TB path."""
     import ray as _ray
 
-    rows = ds.select_columns([id_col, vec_col]).take_all()
-    ids = np.asarray([r[id_col] for r in rows], dtype=np.int64)
-    V = _vec_normalize(np.asarray([r[vec_col] for r in rows], dtype=np.float64))
+    id_chunks: list = []
+    vec_chunks: list = []
+    n_seen = 0
+    for batch in ds.select_columns([id_col, vec_col]).iter_batches(
+            batch_format='pyarrow', batch_size=8192):
+        n_seen += batch.num_rows
+        if n_seen > corpus_cap:
+            raise ValueError(
+                f'embedding_neardup_pairs: corpus exceeds corpus_cap={corpus_cap} rows; '
+                'the broadcast exact matrix would not fit the driver/object store. '
+                'Use embedding_neardup_clusters (sign-LSH scale path) instead.')
+        id_chunks.append(batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
+        vec_chunks.append(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
+    ids = np.concatenate(id_chunks) if id_chunks else np.zeros(0, np.int64)
+    V = _vec_normalize(np.concatenate(vec_chunks)
+                       if vec_chunks else np.zeros((0, 1), np.float64))
     ref = _ray.put((ids, V))
 
     def fn(t: pa.Table) -> pa.Table:
@@ -551,18 +574,50 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     return len(ga & gb) / max(1, len(ga | gb))
 
 
+def _word_shingles(text: str, k: int = 5) -> set:
+    """The k-word shingle SET of a document — the same shingling MinHash
+    signatures are built from (``_shingle_hashes``), as strings."""
+    words = text.split()
+    if len(words) < k:
+        return {' '.join(words)} if words else set()
+    return {' '.join(words[i:i + k]) for i in range(len(words) - k + 1)}
+
+
+def shingle_jaccard(a: str, b: str, k: int = 5) -> float:
+    """k-word-shingle Jaccard similarity — the exact set similarity that
+    MinHash approximates, so verification with this metric measures the same
+    quantity candidate generation screened for."""
+    ga, gb = _word_shingles(a, k), _word_shingles(b, k)
+    if not ga and not gb:
+        return 1.0
+    return len(ga & gb) / max(1, len(ga | gb))
+
+
 def verify_pairs_jaccard(pairs: ray.data.Dataset, docs: ray.data.Dataset, id_col: str = 'doc_id',
                          text_col: str = 'text', threshold: float = 0.8,
-                         num_partitions: int = 16) -> ray.data.Dataset:
-    """Filter candidate pairs by exact n-gram Jaccard via two hash-partitioned
+                         num_partitions: int = 16, metric: str = 'word5') -> ray.data.Dataset:
+    """Filter candidate pairs by exact Jaccard via two hash-partitioned
     joins against the doc texts (pairs ⋈ docs on id_a, then on id_b) — texts
     travel only to the pairs that need them, so this scales with the
-    CANDIDATE volume rather than broadcasting the whole corpus."""
+    CANDIDATE volume rather than broadcasting the whole corpus.
+
+    ``metric='word5'`` (default) uses 5-word-shingle Jaccard — the metric
+    MinHash-LSH candidates approximate, so thresholding here measures the
+    same similarity the candidate stage screened for.  ``metric='char3'``
+    uses character-3-gram Jaccard (edit-level similarity; note natural-text
+    corpora share most char-3-grams, so background pairs score high)."""
     docs = docs.select_columns([id_col, text_col])
-    side_a = docs.map_batches(lambda t: t.rename_columns(['id_a', '__text_a']),
-                              batch_format='pyarrow')
-    side_b = docs.map_batches(lambda t: t.rename_columns(['id_b', '__text_b']),
-                              batch_format='pyarrow')
+
+    def _side(a_or_b: str):
+        def fn(t: pa.Table) -> pa.Table:
+            # fixed types (int64 id, large_string text) so empty-block
+            # rebuilds elsewhere in the chain match exactly
+            return pa.table({f'id_{a_or_b}': t[id_col].combine_chunks().cast(pa.int64()),
+                             f'__text_{a_or_b}': t[text_col].combine_chunks().cast(pa.large_string())})
+        return fn
+
+    side_a = docs.map_batches(_side('a'), batch_format='pyarrow')
+    side_b = docs.map_batches(_side('b'), batch_format='pyarrow')
 
     def _norm_pairs(t: pa.Table) -> pa.Table:
         # schema-less empty blocks (groupby on empty partitions) would break
@@ -572,15 +627,32 @@ def verify_pairs_jaccard(pairs: ray.data.Dataset, docs: ray.data.Dataset, id_col
             return pa.table({'id_a': e, 'id_b': e})
         return t.select(['id_a', 'id_b'])
 
+    def _norm_mid(t: pa.Table) -> pa.Table:
+        # join #1's output can itself contain schema-less empty partitions
+        # (sparse keys at small inputs); rebuild them schema-complete so the
+        # CHAINED join resolves its key fields on every partition
+        if t.num_rows == 0 or 'id_b' not in t.column_names:
+            e = pa.array([], pa.int64())
+            return pa.table({'id_a': e, 'id_b': e,
+                             '__text_a': pa.array([], pa.large_string())})
+        return t.select(['id_a', 'id_b', '__text_a'])
+
     # coalesce after the normalization: restores the dataset-level schema that
     # schema-less empty blocks destroyed (the join op builds its empty
     # partitions from it, and acero errors on missing key fields otherwise)
     pairs = pairs.map_batches(_norm_pairs, batch_format='pyarrow').repartition(num_partitions)
     j = pairs.join(side_a, 'inner', num_partitions, on=('id_a',))
+    # the same coalescing repartition after the mid normalization: without it
+    # the chained join can plan against a still-schema-less dataset view of
+    # join #1's output (observed as a flaky acero 'no match for key field
+    # id_b' depending on which partitions come up empty)
+    j = j.map_batches(_norm_mid, batch_format='pyarrow').repartition(num_partitions)
     j = j.join(side_b, 'inner', num_partitions, on=('id_b',))
 
+    sim_fn = shingle_jaccard if metric == 'word5' else ngram_jaccard
+
     def score(t: pa.Table) -> pa.Table:
-        sims = pa.array([ngram_jaccard(a or '', b or '')
+        sims = pa.array([sim_fn(a or '', b or '')
                          for a, b in zip(t['__text_a'].to_pylist(), t['__text_b'].to_pylist())],
                         pa.float64())
         t = t.drop_columns(['__text_a', '__text_b']).append_column('jaccard', sims)

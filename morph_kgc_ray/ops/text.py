@@ -170,26 +170,41 @@ def fingerprint(ds: ray.data.Dataset, text_col: str = 'text', out_col: str = 'fi
 def rolling_hash_fingerprint(ds: ray.data.Dataset, text_col: str = 'text',
                              window: int = 64, out_col: str = 'winnow_fp') -> ray.data.Dataset:
     """Winnowing-style fingerprint: min of rolling polynomial hashes over
-    byte windows — robust to local edits; vectorized with numpy."""
+    byte windows — robust to local edits.
+
+    Fully vectorized: the window hash h_i = sum_j d[i+j] * B^(w-1-j)
+    (mod 2^64) is computed for ALL i at once via the modular-inverse prefix
+    trick — B is odd, hence invertible mod 2^64, so with
+    S_k = sum_{t<k} d[t] * B^(-t) each window hash is
+    B^(i+w-1) * (S_{i+w} - S_i); numpy uint64 cumsum/cumprod wraparound IS
+    mod-2^64 arithmetic.  One O(n) pass per document, no Python byte loop."""
     B = 1000003
-    MASK = (1 << 64) - 1
-    Bw = pow(B, window - 1, 1 << 64)
+    MOD = 1 << 64
+    B_inv = pow(B, -1, MOD)
+    w = window
 
     def one(text: str) -> int:
-        data = text.encode('utf-8')
-        if len(data) < window:
+        data = np.frombuffer(text.encode('utf-8'), dtype=np.uint8).astype(np.uint64)
+        n = len(data)
+        if n == 0:
+            return 0
+        if n < w:  # single short window: plain polynomial fold
             h = 0
-            for b in data:
-                h = (h * B + b) & MASK
+            for b in data.tolist():
+                h = (h * B + b) % MOD
             return h
-        h = 0
-        for b in data[:window]:
-            h = (h * B + b) & MASK
-        best = h
-        for i in range(1, len(data) - window + 1):
-            h = ((h - data[i - 1] * Bw) * B + data[i + window - 1]) & MASK
-            best = min(best, h)
-        return best
+        with np.errstate(over='ignore'):
+            inv_pow = np.empty(n, dtype=np.uint64)           # B^(-t) mod 2^64
+            inv_pow[0] = 1
+            np.cumprod(np.full(n - 1, B_inv, dtype=np.uint64), out=inv_pow[1:])
+            S = np.zeros(n + 1, dtype=np.uint64)             # prefix of d[t]*B^(-t)
+            np.cumsum(data * inv_pow, out=S[1:])
+            fwd_pow = np.empty(n - w + 1, dtype=np.uint64)   # B^(i+w-1) mod 2^64
+            fwd_pow[0] = pow(B, w - 1, MOD)
+            np.cumprod(np.full(n - w, B, dtype=np.uint64), out=fwd_pow[1:])
+            fwd_pow[1:] *= fwd_pow[0]
+            h = fwd_pow * (S[w:] - S[:-w])
+        return int(h.min())
 
     def fn(t: pa.Table) -> pa.Table:
         fps = [one(v) if v is not None else None for v in t[text_col].to_pylist()]

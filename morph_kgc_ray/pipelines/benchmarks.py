@@ -25,6 +25,8 @@ from ..sources.readers import read_parquet_clean
 from ..ops import dedup as dedup_ops
 from ..ops import similarity as sim_ops
 from ..ops import text as text_ops
+from .web import (SCHEMA_DATE, SCHEMA_DETECTED_LANG, SCHEMA_LANG, SCHEMA_MENTIONS,
+                  SCHEMA_QUALITY, SCHEMA_SHA256, SCHEMA_URL)
 
 EX = 'http://example.com'
 RDF_TYPE_IRI = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
@@ -218,13 +220,13 @@ def embedding_neardup_pairs(sf_dir: str):
     return out.select_columns(['id_a', 'id_b'])
 
 
-# ---- non-SQL-expressible ops (rows-only checks) ----
-
-
 def jaccard_verified_pairs_documents(sf_dir: str):
-    """MinHash-LSH candidates filtered by exact character-3-gram Jaccard via
-    the bucketed text join (rows-only: per-pair set intersection is not
-    reasonably SQL-expressible)."""
+    """MinHash-LSH candidates filtered by exact 5-word-shingle Jaccard via
+    the bucketed text join.  Oracle-checked: the shingle-set Jaccard is
+    replicated with DuckDB list kernels; equality with the all-pairs SQL is
+    the banded-LSH recall-1.0 claim on this corpus (near-dup pairs sit at
+    j~0.99 where the 16x4 band miss probability is ~1e-22; the corpus has no
+    pairs near the 0.5 threshold — verified at sf 0.001/0.01/0.1)."""
     ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
     pairs = dedup_ops.minhash_lsh_candidates(ds)
     out = dedup_ops.verify_pairs_jaccard(pairs, ds, threshold=0.5)
@@ -232,24 +234,52 @@ def jaccard_verified_pairs_documents(sf_dir: str):
 
 
 def embedding_neardup_clusters(sf_dir: str):
-    """Sign-LSH bucketed near-dup clustering over embeddings (scale path;
-    rows-only check — LSH bucketing is not SQL-expressible)."""
+    """Near-dup clusters over embeddings: EXACT cosine pairs (streamed
+    broadcast matmul — right at this corpus' dimension scale) + join-based
+    min-label propagation to convergence.  Oracle: recursive-CTE connected
+    components over the exact cosine pair SQL.  The sign-LSH scale path is
+    exercised by ``embedding_neardup_clusters_lsh`` (rows-only: this corpus'
+    threshold pairs are random-tail borderline cases where banded sign-LSH
+    recall is ~0.97 by construction, so LSH output is not deterministically
+    equal to the exact graph)."""
     ds = read_parquet_clean(_p(sf_dir, 'embeddings'), columns=['vec_id', 'embedding'])
-    return dedup_ops.embedding_neardup_clusters(ds, threshold=0.5)
+    pairs = dedup_ops.embedding_neardup_pairs(ds, threshold=0.5)
+    return dedup_ops.min_label_clusters(pairs, id_col='vec_id')
+
 
 def minhash_dedup_documents(sf_dir: str):
+    """Full MinHash-LSH near-dup clustering (candidates -> shingle-Jaccard
+    verification -> min-label propagation to convergence).  Oracle:
+    recursive-CTE connected components over the exact shingle-Jaccard pair
+    SQL (see ``jaccard_verified_pairs_documents`` for the recall claim)."""
     ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
     return dedup_ops.minhash_dedup_clusters(ds)
 
 
-def simhash_documents(sf_dir: str):
-    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
-    return dedup_ops.simhash(ds).select_columns(['doc_id', 'simhash'])
-
-
 def lang_id_documents(sf_dir: str):
+    """Marker-based language ID.  Oracle-checked: the marker substring
+    counts and first-argmax tie-break are replicated exactly in SQL."""
     ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
     return text_ops.lang_id(ds, concurrency=2).select_columns(['doc_id', 'lang_pred'])
+
+
+# ---- non-SQL-expressible ops (rows-only checks) ----
+
+
+def embedding_neardup_clusters_lsh(sf_dir: str):
+    """Sign-LSH bucketed near-dup clustering over embeddings — the 100-TB
+    scale path (one banded shuffle + bucketed verification joins).  Rows-only
+    check: banded sign-LSH recall on borderline random pairs is
+    probabilistic, so the output is not deterministically SQL-equal."""
+    ds = read_parquet_clean(_p(sf_dir, 'embeddings'), columns=['vec_id', 'embedding'])
+    return dedup_ops.embedding_neardup_clusters(ds, threshold=0.5)
+
+
+def simhash_documents(sf_dir: str):
+    """SimHash signatures (rows-only: blake2b word hashing is not available
+    in DuckDB SQL)."""
+    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
+    return dedup_ops.simhash(ds).select_columns(['doc_id', 'simhash'])
 
 
 def ivf_ann_embeddings(sf_dir: str):
@@ -337,6 +367,7 @@ QUERIES = {
     'ann_topk_embeddings': ann_topk_embeddings,
     'embedding_neardup_pairs': embedding_neardup_pairs,
     'embedding_neardup_clusters': embedding_neardup_clusters,
+    'embedding_neardup_clusters_lsh': embedding_neardup_clusters_lsh,
     'jaccard_verified_pairs_documents': jaccard_verified_pairs_documents,
     'minhash_dedup_documents': minhash_dedup_documents,
     'simhash_documents': simhash_documents,
@@ -474,4 +505,162 @@ ORACLE_SQL = {
                FROM q CROSS JOIN embeddings e)
         SELECT query_id, neighbor_id FROM scored WHERE rn <= 10
     ''',
+    # the IVF build/probe pipeline reaches recall@10 = 1.0 at nprobe=3/8 on
+    # this corpus (ivf_ann_embeddings is hash-exact against the exact-top-k
+    # oracle above); this oracle asserts exactly that claim — a recall
+    # regression in the build/probe path breaks the hash match.
+    'ivf_recall_embeddings': '''
+        SELECT CAST(5 AS BIGINT) AS n_queries, CAST(1.0 AS DOUBLE) AS recall_at_10
+    ''',
 }
+
+
+# --------------------------------------------------------------------------
+# generated oracles: shingle-Jaccard pairs, connected components, language
+# ID and the flagship web-KG construction (all plain DuckDB SQL, built by
+# string templating so the marker tables / thresholds stay single-sourced)
+# --------------------------------------------------------------------------
+
+def _shingle_pairs_sql(table: str = 'documents', id_col: str = 'doc_id') -> str:
+    """Exact 5-word-shingle Jaccard >= 0.5 pairs (id_a < id_b) — the
+    quantity MinHash-LSH + verification computes.  Integer arithmetic
+    (2*|inter| >= |union|) avoids float threshold edges; the both-empty
+    shingle-set case scores Jaccard 1.0 like ``shingle_jaccard``."""
+    return f'''
+      w AS MATERIALIZED (SELECT {id_col} AS id,
+                   list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+            FROM {table}),
+      s AS MATERIALIZED (SELECT id,
+                   CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+                        WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+                        ELSE list_distinct([array_to_string(ws[i:i+4], ' ')
+                                            FOR i IN range(1, len(ws) - 3)]) END AS gs
+            FROM w),
+      pairs AS MATERIALIZED (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM s a JOIN s b ON a.id < b.id
+        WHERE (len(a.gs) = 0 AND len(b.gs) = 0)
+           OR 2 * len(list_intersect(a.gs, b.gs)) >= len(list_distinct(a.gs || b.gs)))
+    '''
+
+
+def _components_sql(pairs_cte: str, id_out: str) -> str:
+    """Connected components (label = min reachable id) over a ``pairs`` CTE
+    with columns (id_a, id_b) — the converged result of min-label
+    propagation, as a recursive closure."""
+    return f'''
+        WITH RECURSIVE {pairs_cte},
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (SELECT a, b FROM edges
+                        UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        SELECT a AS {id_out}, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+    '''
+
+
+def _langid_score_columns(text_expr: str) -> str:
+    """SELECT-list fragment computing one marker-count score column per
+    language (``s_<lang>``), replicating ``ops.text.LangIdKernel``:
+    non-overlapping marker substring counts over ' '||lower(text)||' '."""
+    from ..ops.text import _LANG_MARKERS
+    padded = f"(' ' || lower({text_expr}) || ' ')"
+    cols = []
+    for lang, markers in _LANG_MARKERS.items():
+        terms = ' + '.join(
+            f"((length({padded}) - length(replace({padded}, '{m}', ''))) // {len(m)})"
+            for m in markers)
+        cols.append(f'({terms}) AS s_{lang}')
+    return ', '.join(cols)
+
+
+def _langid_case_sql() -> str:
+    """CASE over the ``s_<lang>`` score columns: argmax with
+    first-in-table-order tie-break, 'und' when all zero (the kernel's
+    ``np.argmax`` + zero-max fallback)."""
+    from ..ops.text import _LANG_MARKERS
+    langs = list(_LANG_MARKERS)
+    all_scores = ', '.join(f's_{lang}' for lang in langs)
+    branches = [f"WHEN GREATEST({all_scores}) = 0 THEN 'und'"]
+    for i, lang in enumerate(langs[:-1]):
+        later = ' AND '.join(f's_{lang} >= s_{l2}' for l2 in langs[i + 1:])
+        branches.append(f"WHEN {later} THEN '{lang}'")
+    branches.append(f"ELSE '{langs[-1]}'")
+    return '(CASE ' + ' '.join(branches) + ' END)'
+
+
+def _cosine_pairs_cte(threshold: float = 0.5) -> str:
+    return f'''pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= {threshold})'''
+
+
+def _web_kg_oracle_sql(pages_glob: str) -> str:
+    """The flagship pipeline as one DuckDB query over the pages parquet.
+
+    Every emitted predicate is a deterministic function of the page row
+    (per-row invariant: extracted text == text column byte-identically), so
+    url/date/lang/digest/detected-language/quality/mentions triples are all
+    expressible: RML percent-encoding over this URL charset is two
+    replaces, the dateTime literal matches CAST's trailing-zero trimming,
+    sha256/printf mirror hashlib/%.4f, the language CASE replicates the
+    marker kernel, and gazetteer mentions reduce to one RE2 extract (every
+    alias is 'name + optional suffix', so the name regex finds exactly the
+    pages whose text matches some alias of that entity)."""
+    enc = "replace(replace(url, ':', '%3A'), '/', '%2F')"
+    subj = f"('<http://crawl.example.org/page/' || {enc} || '>')"
+    langdet = _langid_case_sql()
+    quality = ("printf('%.4f', 1.0 - LEAST(1.0, "
+               "((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))"
+               " + (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))"
+               " + 0.5 * (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))"
+               ") / GREATEST(length(text), 1)))")
+    return f'''
+        WITH pages AS (SELECT * FROM read_parquet('{pages_glob}'))
+        SELECT 'p_url' AS "partition", {subj} AS subject,
+               '<{SCHEMA_URL}>' AS predicate,
+               ('<' || {enc} || '>') AS object FROM pages
+        UNION
+        SELECT 'p_date', {subj}, '<{SCHEMA_DATE}>',
+               ('"' || REPLACE(CAST(warc_ts AS VARCHAR), ' ', 'T')
+                || '"^^<http://www.w3.org/2001/XMLSchema#dateTime>') FROM pages
+        UNION
+        SELECT 'p_lang', {subj}, '<{SCHEMA_LANG}>', ('"' || lang || '"') FROM pages
+        UNION
+        SELECT 'p_digest', {subj}, '<{SCHEMA_SHA256}>',
+               ('"' || sha256(text) || '"') FROM pages
+        UNION
+        SELECT 'p_langdet', {subj}, '<{SCHEMA_DETECTED_LANG}>',
+               ('"' || {langdet} || '"')
+        FROM (SELECT url, {_langid_score_columns('text')} FROM pages)
+        UNION
+        SELECT 'p_quality', {subj}, '<{SCHEMA_QUALITY}>',
+               ('"' || {quality} || '"') FROM pages
+        UNION
+        SELECT DISTINCT 'p_mentions', {subj}, '<{SCHEMA_MENTIONS}>',
+               ('<http://kg.example.org/entity/' || lower(m) || '>')
+        FROM (SELECT url, UNNEST(regexp_extract_all(
+                  text, '\\b(?:Acme|Globex)[0-9]{{3}}\\b')) AS m FROM pages)
+    '''
+
+
+ORACLE_SQL['jaccard_verified_pairs_documents'] = \
+    'WITH ' + _shingle_pairs_sql() + ' SELECT id_a, id_b FROM pairs'
+ORACLE_SQL['minhash_dedup_documents'] = _components_sql(_shingle_pairs_sql(), 'doc_id')
+ORACLE_SQL['embedding_neardup_clusters'] = _components_sql(_cosine_pairs_cte(0.5), 'vec_id')
+ORACLE_SQL['lang_id_documents'] = (
+    f'SELECT doc_id, {_langid_case_sql()} AS lang_pred '
+    f"FROM (SELECT doc_id, {_langid_score_columns('text')} FROM documents)")
+
+
+def get_oracle_sql() -> dict[str, str]:
+    """The full oracle dict.  Built lazily because the flagship oracle reads
+    the deterministic pages parquet — materialized here (cached) so the SQL
+    is runnable regardless of whether the Ray query ran first.  The driver
+    compares at sf=0.01, where ``web_kg_construction`` uses 5000 pages."""
+    from .pages import pages_parquet_dir
+    out = dict(ORACLE_SQL)
+    pages_dir = pages_parquet_dir(5000)
+    out['web_kg_construction'] = _web_kg_oracle_sql(f'{pages_dir}/*.parquet')
+    return out

@@ -15,6 +15,13 @@ from scratch on resume (writes go to a temp dir first, then an atomic
 rename).  This is the Ray-scale replacement for the reference's
 append-with-fsync per-group files (utils.py:285-297, config.py:282-297).
 
+Task-retry idempotence: a Ray task that fails AFTER writing its shard (or a
+block recomputed by lineage reconstruction) leaves an orphan file in the tmp
+dir whose count row never reached the driver.  The manifest therefore
+records every committed shard NAME, and the commit step PRUNES any ``*.nt``
+file not in that list before the atomic rename — consumers globbing
+``part=*/*.nt`` see exactly the manifest's shards, never duplicates.
+
 On a multi-node cluster ``out_dir`` is shared storage (NFS / fuse-mounted
 object store); the shard-per-block + rename-on-commit protocol is the same.
 """
@@ -32,6 +39,14 @@ import pyarrow.compute as pc
 
 def _sanitize(partition_id: str) -> str:
     return ''.join(c if (c.isalnum() or c in '-_.') else '_' for c in str(partition_id))
+
+
+def _prune_unlisted(dir_path: str, committed: set) -> None:
+    """Delete ``*.nt`` files not in the committed-shard set (orphans from
+    retried/re-executed tasks whose count rows never reached the driver)."""
+    for name in os.listdir(dir_path):
+        if name.endswith('.nt') and name not in committed:
+            os.unlink(os.path.join(dir_path, name))
 
 
 def _join_lines(arr: pa.Array) -> bytes:
@@ -134,6 +149,8 @@ def write_partitioned_ntriples(partitions: dict, out_dir: str, resume: bool = Tr
                                 batch_format='pyarrow').take_all()
         rows = sum(r['rows'] for r in counts)
         shards = sorted(r['shard'] for r in counts)
+        os.makedirs(tmp_dir, exist_ok=True)  # 0-block datasets never created it
+        _prune_unlisted(tmp_dir, set(shards))
         with open(os.path.join(tmp_dir, '_MANIFEST.json'), 'w', encoding='utf-8') as f:
             json.dump({'partition': pid, 'rows': rows, 'shards': shards}, f)
         os.replace(tmp_dir, pdir)
@@ -156,10 +173,22 @@ def write_partition_column_ntriples(triples, out_dir: str, resume: bool = True,
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
     counts: dict[str, int] = {}
+    shards: dict[str, list] = {}
     for r in triples.map_batches(_PartitionedShardWriter(tmp, partition_col),
                                  batch_format='pyarrow').take_all():
         counts[r['partition']] = counts.get(r['partition'], 0) + r['rows']
-    report = {'partitions': counts, 'total': sum(counts.values())}
+        shards.setdefault(r['partition'], []).append(r['shard'])
+    committed_by_dir = {f'part={_sanitize(p)}': set(v) for p, v in shards.items()}
+    for entry in os.listdir(tmp):
+        if entry.startswith('part=') and os.path.isdir(os.path.join(tmp, entry)):
+            committed = committed_by_dir.get(entry, set())
+            _prune_unlisted(os.path.join(tmp, entry), committed)
+            if not committed:  # directory holds only orphans: drop it
+                shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
+    for names in shards.values():
+        names.sort()
+    report = {'partitions': counts, 'total': sum(counts.values()),
+              'shards': shards}
     with open(os.path.join(tmp, '_MANIFEST.json'), 'w', encoding='utf-8') as f:
         json.dump(report, f)
     shutil.rmtree(out_dir, ignore_errors=True)

@@ -213,9 +213,13 @@ def _read_csv(rule, references, source_type) -> ray.data.Dataset:
     except OSError:
         pass
     # referenced columns read as string: mirrors pd.read_table(dtype=str) so
-    # '30' stays '30' (not inferred double -> '30.0')
+    # '30' stays '30' (not inferred double -> '30.0').  include_columns is the
+    # CSV projection pushdown: only referenced columns are parsed/materialized
+    # at the scan (a wide CSV read for a 2-column transform must not ship
+    # every column).  Empty references (constant-only rules) read full-width.
     convert = pacsv.ConvertOptions(strings_can_be_null=False, null_values=[],
-                                   column_types={r: pa.string() for r in references})
+                                   column_types={r: pa.string() for r in references},
+                                   include_columns=list(references) if references else None)
     parse = pacsv.ParseOptions(delimiter=delimiter)
     return ray.data.read_csv(path, convert_options=convert, parse_options=parse)
 
@@ -304,6 +308,16 @@ def _normalize_hierarchical_data(data):
         yield data
 
 
+def _json_never_seen(references, seen_cols, null_ok) -> list:
+    """References that appeared in NO record: a reference whose TOP-LEVEL key
+    exists in some record but whose nested projection differs merely yields
+    no rows (e.g. the corpus 'complex' TC); only a completely unknown key is
+    an error."""
+    return [r for r in references
+            if r not in seen_cols and r.split('.')[0] not in seen_cols
+            and r not in null_ok]
+
+
 class JsonIteratorKernel:
     """Actor-pool kernel: JSONPath iterator + flatten, one file per input row.
 
@@ -331,7 +345,8 @@ class JsonIteratorKernel:
         self.project_full_reference = project_full_reference
 
     def iterate_object(self, data, with_record_ids: bool = False,
-                       null_ok_refs: 'tuple | list' = ()) -> pd.DataFrame:
+                       null_ok_refs: 'tuple | list' = (),
+                       return_info: bool = False):
         matches = [m.value for m in self.expr.find(data)]
         if not matches and self.alt_expr is not None:
             matches = [m.value for m in self.alt_expr.find(data)]
@@ -369,17 +384,17 @@ class JsonIteratorKernel:
                 df['__record'] = mi
             frames.append(df)
         # strict mode (W3C RMLTC0002c): a reference that appeared in NO
-        # record of the document aborts materialization.  The default mirrors
+        # record of the SOURCE aborts materialization.  The default mirrors
         # the reference engine's effective file behavior (missing references
         # fill with nulls, data_file.py:163-165 — the rule generates
         # nothing); real-world corpus mappings rely on it (json/complex).
-        if self.strict and any_records:
-            # a reference whose TOP-LEVEL key exists in some record but whose
-            # nested projection differs merely yields no rows (e.g. the
-            # corpus 'complex' TC); only a completely unknown key is an error
-            never_seen = [r for r in self.references
-                          if r not in seen_cols and r.split('.')[0] not in seen_cols
-                          and r not in null_ok]
+        # For file sources the check happens SOURCE-level (see
+        # ``_validate_strict_refs``): raising per batch would misfire on a
+        # multi-file glob where a reference is defined only in another
+        # batch's files, so here it only fires for direct (in-memory,
+        # single-document) calls.
+        if self.strict and any_records and not return_info:
+            never_seen = _json_never_seen(self.references, seen_cols, null_ok)
             if never_seen:
                 raise ValueError(
                     f'References {never_seen} not found in any record of the '
@@ -388,11 +403,30 @@ class JsonIteratorKernel:
             cols = {r: pd.Series(dtype=object) for r in self.references}
             if with_record_ids:
                 cols['__record'] = pd.Series(dtype='int64')
-            return pd.DataFrame(cols)
-        out = pd.concat(frames, ignore_index=True)
-        # convert_dtypes keeps integers integral (10 -> '10', not '10.0')
-        # even when a sibling record's missing key upcast the column
-        return out.convert_dtypes(convert_boolean=False)
+            out = pd.DataFrame(cols)
+        else:
+            out = pd.concat(frames, ignore_index=True)
+            # convert_dtypes keeps integers integral (10 -> '10', not '10.0')
+            # even when a sibling record's missing key upcast the column
+            out = out.convert_dtypes(convert_boolean=False)
+        if return_info:
+            return out, seen_cols, any_records
+        return out
+
+    def seen_info(self, batch: pd.DataFrame) -> pd.DataFrame:
+        """Per-batch reference-visibility rows for the source-level strict
+        check: one row per reference seen in these files, plus an
+        ``__any_records__`` marker row when any record existed."""
+        seen: set = set()
+        any_records = False
+        for blob in batch['bytes']:
+            data = json.loads(blob.decode('utf-8') if isinstance(blob, (bytes, bytearray)) else blob)
+            _, s, a = self.iterate_object(data, null_ok_refs=self.null_ok_refs,
+                                          return_info=True)
+            seen |= s
+            any_records = any_records or a
+        names = sorted(seen) + (['__any_records__'] if any_records else [])
+        return pd.DataFrame({'name': pd.Series(names, dtype=object)})
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         import hashlib
@@ -401,7 +435,7 @@ class JsonIteratorKernel:
         for blob, path in zip(batch['bytes'], paths):
             data = json.loads(blob.decode('utf-8') if isinstance(blob, (bytes, bytearray)) else blob)
             f = self.iterate_object(data, with_record_ids=self.with_record_ids,
-                                    null_ok_refs=self.null_ok_refs)
+                                    null_ok_refs=self.null_ok_refs, return_info=True)[0]
             if self.with_record_ids and path is not None and '__record' in f.columns and len(f):
                 # namespace record ids per source file: a multi-file/glob
                 # source restarts the match index at 0 per blob, and unnamed-
@@ -427,14 +461,51 @@ class JsonIteratorKernel:
         return str_part
 
 
+def _expand_source_paths(path: str) -> 'str | list[str]':
+    """``ray.data.read_binary_files`` takes concrete paths, not glob
+    patterns — expand wildcards here (sorted for deterministic file order;
+    __record ids are namespaced per file so order only affects block
+    layout)."""
+    if isinstance(path, str) and any(ch in path for ch in '*?['):
+        import glob as _glob
+        files = sorted(_glob.glob(path))
+        if files:
+            return files
+    return path
+
+
+def _validate_strict_refs(path: str, kernel, references, null_ok_refs=(),
+                          kind: str = 'JSON') -> None:
+    """Source-level strict-reference validation (W3C RMLTC0002c): aggregate
+    the seen-reference set across ALL files of the source (a reference
+    defined only in some files of a multi-file glob is valid), then raise if
+    any reference appeared nowhere.  One extra lightweight pass, only when
+    ``strict_undefined_references`` is enabled (a conformance-semantics
+    flag; scale pipelines leave it off)."""
+    info = ray.data.read_binary_files(_expand_source_paths(path)) \
+        .map_batches(kernel.seen_info, batch_format='pandas').to_pandas()
+    names = set(info['name']) if len(info) else set()
+    if '__any_records__' not in names:
+        return  # no records at all: rules generate nothing, not an error
+    never = _json_never_seen(references, names, set(null_ok_refs)) if kind == 'JSON' \
+        else [r for r in references if r not in names]
+    if never:
+        noun = 'record' if kind == 'JSON' else 'node'
+        raise ValueError(
+            f'References {never} not found in any {noun} of the '
+            f'{kind} source (invalid reference).')
+
+
 def _read_json(rule, references, na_values, keep_order: bool = False,
                null_ok_refs: 'tuple | list' = (), strict: bool = False) -> ray.data.Dataset:
     path = rule['logical_source_value']
-    # include_paths so record ids can be namespaced per file (multi-file glob
-    # sources must not share __record ids across files)
-    ds = ray.data.read_binary_files(path, include_paths=keep_order)
     kernel = JsonIteratorKernel(rule['iterator'], references, with_record_ids=keep_order,
                                 null_ok_refs=null_ok_refs, strict=strict)
+    if strict:
+        _validate_strict_refs(path, kernel, references, null_ok_refs, kind='JSON')
+    # include_paths so record ids can be namespaced per file (multi-file glob
+    # sources must not share __record ids across files)
+    ds = ray.data.read_binary_files(_expand_source_paths(path), include_paths=keep_order)
     ds = ds.map_batches(kernel.__call__, batch_format='pandas')
     return ds.map_batches(_prologue_fn(references, na_values, keep_order=keep_order,
                                        null_ok_refs=null_ok_refs),
@@ -497,7 +568,7 @@ class XmlIteratorKernel:
             return [node.text] if node.text is not None else []
         return [c.text for c in node.findall(elem_path, ns) if c.text is not None]
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def _process(self, batch: pd.DataFrame):
         import xml.etree.ElementTree as ET
         from itertools import product
 
@@ -527,38 +598,55 @@ class XmlIteratorKernel:
                     continue
                 for combo in product(*ref_values):
                     rows.append(dict(zip(self.references, combo)))
-        # strict mode (W3C RMLTC0002c): a reference matching nothing on ANY
-        # iterator node aborts materialization
-        if self.strict and any_nodes:
-            never = [r for r in self.references if r not in seen_refs]
-            if never:
-                raise ValueError(
-                    f'References {never} matched no node in the XML source '
-                    '(invalid reference).')
+        return rows, seen_refs, any_nodes
+
+    def seen_info(self, batch: pd.DataFrame) -> pd.DataFrame:
+        """Reference-visibility rows for the SOURCE-level strict check (the
+        W3C RMLTC0002c semantics must aggregate across all files of a glob,
+        not per batch — see ``_validate_strict_refs``)."""
+        _, seen, any_nodes = self._process(batch)
+        names = sorted(seen) + (['__any_records__'] if any_nodes else [])
+        return pd.DataFrame({'name': pd.Series(names, dtype=object)})
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rows, _, _ = self._process(batch)
         return pd.DataFrame(rows, columns=self.references, dtype=object)
 
 
 def _read_xml(rule, references, na_values, keep_order: bool = False,
               strict: bool = False) -> ray.data.Dataset:
     path = rule['logical_source_value']
-    ds = ray.data.read_binary_files(path)
     kernel = XmlIteratorKernel(rule['iterator'], references, strict=strict)
+    if strict:
+        _validate_strict_refs(path, kernel, references, kind='XML')
+    ds = ray.data.read_binary_files(_expand_source_paths(path))
     ds = ds.map_batches(kernel.__call__, batch_format='pandas')
     return ds.map_batches(_prologue_fn(references, na_values, keep_order=keep_order),
                           batch_format='pyarrow')
 
 
-def _build_sql_query(rule, references) -> 'str | None':
-    """SELECT refs FROM table WHERE refs IS NOT NULL, with double-quoted
-    identifiers (reference semantics, relational_db.py:152-172; backtick
-    dialect translation collapses to double quotes for SQLite)."""
+def _sql_quote_char(db_url: str = '') -> str:
+    """Identifier quote character per dialect (reference
+    relational_db.py:60-82: MySQL/MariaDB use backticks, ANSI dialects use
+    double quotes)."""
+    scheme = db_url.split(':', 1)[0].split('+')[0].lower() if db_url else ''
+    return '`' if scheme in ('mysql', 'mariadb') else '"'
+
+
+def _build_sql_query(rule, references, db_url: str = '') -> 'str | None':
+    """SELECT refs FROM table WHERE refs IS NOT NULL, with dialect-correct
+    identifier quoting (reference semantics, relational_db.py:152-172:
+    double quotes for ANSI/SQLite/PostgreSQL, backticks for MySQL/MariaDB
+    keyed off the db_url scheme)."""
     if rule['logical_source_type'] == 'http://w3id.org/rml/query':
         return rule['logical_source_value']
     refs = list(references)
     if not refs:
         return None
+    qc = _sql_quote_char(db_url)
+
     def q(ident):
-        return '"' + ident.replace('.', '"."') + '"'
+        return qc + ident.replace('.', f'{qc}.{qc}') + qc
     cols = ', '.join(q(r) for r in refs)
     table = q(str(rule['logical_source_value']))
     where = ' AND '.join(f'{q(r)} IS NOT NULL' for r in refs)
@@ -570,7 +658,7 @@ def _read_rdb(rule, references, config: Config) -> ray.data.Dataset:
     same query-building path plugs into ray.data.read_sql with any DBAPI
     connection factory for server databases."""
     db_url = config.get_db_url(rule['source_name'])
-    sql = _build_sql_query(rule, references)
+    sql = _build_sql_query(rule, references, db_url)
     if sql is None:
         # all term maps constant (e.g. R2RML TC0006a): one placeholder row
         return ray.data.from_pandas(pd.DataFrame({'placeholder': ['placeholder']}))

@@ -212,3 +212,141 @@ def test_engine_sink_partial_resume_reexecutes_missing_partition(ray_session, tm
     redone = {pid for pid, v in rep2.items() if not v['skipped']}
     assert len(redone) == 1  # only the deleted partition re-ran
     assert os.path.exists(os.path.join(out, victim, '_MANIFEST.json'))
+
+
+def test_shingle_jaccard_matches_set_semantics():
+    from morph_kgc_ray.ops.dedup import shingle_jaccard
+    a = 'w1 w2 w3 w4 w5 w6'
+    assert shingle_jaccard(a, a) == 1.0
+    assert shingle_jaccard('', '') == 1.0
+    assert shingle_jaccard(a, '') == 0.0
+    # 2 shingles each, 1 shared -> 1/3
+    assert abs(shingle_jaccard('a b c d e f', 'a b c d e g') - 1 / 3) < 1e-12
+    # short docs (< 5 words) compare their single whole-text shingle
+    assert shingle_jaccard('x y', 'x y') == 1.0
+    assert shingle_jaccard('x y', 'x z') == 0.0
+
+
+def test_verify_pairs_word_metric_separates_background(docs_ds, ray_session):
+    """Word-shingle verification keeps true near-dups and drops pairs that
+    merely share character 3-grams (vocabulary overlap)."""
+    import ray.data as rd
+    from morph_kgc_ray.ops.dedup import verify_pairs_jaccard
+    pairs = rd.from_items([{'id_a': 1, 'id_b': 2},   # exact dup: j=1.0
+                           {'id_a': 1, 'id_b': 4}])  # unrelated text
+    out = verify_pairs_jaccard(pairs, docs_ds, threshold=0.5).to_pandas()
+    got = set(zip(out['id_a'], out['id_b']))
+    assert (1, 2) in got and (1, 4) not in got
+
+
+def test_rolling_hash_fingerprint_vectorized_matches_scalar(ray_session):
+    """The mod-2^64 inverse-prefix vectorization must equal the byte-loop
+    recurrence on every length class (empty, sub-window, window boundary,
+    long)."""
+    import random
+    import ray.data as rd
+    from morph_kgc_ray.ops.text import rolling_hash_fingerprint
+
+    B, MASK, W = 1000003, (1 << 64) - 1, 64
+    Bw = pow(B, W - 1, 1 << 64)
+
+    def scalar(text):
+        data = text.encode('utf-8')
+        h = 0
+        if len(data) < W:
+            for b in data:
+                h = (h * B + b) & MASK
+            return h
+        for b in data[:W]:
+            h = (h * B + b) & MASK
+        best = h
+        for i in range(1, len(data) - W + 1):
+            h = ((h - data[i - 1] * Bw) * B + data[i + W - 1]) & MASK
+            best = min(best, h)
+        return best
+
+    random.seed(7)
+    texts = ['', 'a', 'short text', 'x' * 63, 'y' * 64, 'z' * 65,
+             ''.join(random.choice('abc def\n') for _ in range(3000))]
+    ds = rd.from_items([{'doc_id': i, 'text': t} for i, t in enumerate(texts)])
+    out = rolling_hash_fingerprint(ds).to_pandas().set_index('doc_id')['winnow_fp'].to_dict()
+    for i, t in enumerate(texts):
+        assert int(out[i]) == scalar(t), f'mismatch on text #{i}'
+
+
+def test_embedding_neardup_pairs_corpus_cap(ray_session):
+    import ray.data as rd
+    from morph_kgc_ray.ops.dedup import embedding_neardup_pairs
+    ds = rd.from_items([{'vec_id': i, 'embedding': [1.0, 0.0]} for i in range(10)])
+    with pytest.raises(ValueError, match='corpus_cap'):
+        embedding_neardup_pairs(ds, corpus_cap=5).take_all()
+
+
+def test_sink_prunes_orphan_shards(ray_session, tmp_path):
+    """A shard file written by a failed/retried task attempt (present in the
+    tmp dir but absent from the committed count rows) must NOT survive the
+    manifest commit."""
+    import json
+    import os
+    import ray.data as rd
+    from morph_kgc_ray.sinks import writers
+
+    triples = rd.from_items([
+        {'partition': 'p1', 'subject': '<s>', 'predicate': '<p>', 'object': '<o>'}])
+
+    # plant the orphan via a hook on the writer: subclass writes an extra
+    # un-reported shard file the way a failed attempt would leave one behind
+    orig_call = writers._PartitionedShardWriter.__call__
+
+    def call_with_orphan(self, t):
+        out = orig_call(self, t)
+        pdir = os.path.join(self.tmp_dir, 'part=p1')
+        os.makedirs(pdir, exist_ok=True)
+        with open(os.path.join(pdir, 'shard_deadbeef0000.nt'), 'wb') as f:
+            f.write(b'<dup> <dup> <dup> .\n')
+        return out
+
+    writers._PartitionedShardWriter.__call__ = call_with_orphan
+    try:
+        out_dir = str(tmp_path / 'kg')
+        report = writers.write_partition_column_ntriples(triples, out_dir, resume=False)
+    finally:
+        writers._PartitionedShardWriter.__call__ = orig_call
+
+    files = sorted(os.listdir(os.path.join(out_dir, 'part=p1')))
+    assert 'shard_deadbeef0000.nt' not in files
+    with open(os.path.join(out_dir, '_MANIFEST.json')) as f:
+        manifest = json.load(f)
+    assert sorted(manifest['shards']['p1']) == [f for f in files if f.endswith('.nt')]
+    assert manifest['partitions']['p1'] == 1
+
+
+def test_strict_refs_aggregate_across_files(ray_session, tmp_path):
+    """strict_undefined_references must validate at SOURCE level: a reference
+    present only in SOME files of a glob is fine; one present nowhere errors."""
+    import json as _json
+    from morph_kgc_ray.sources.readers import JsonIteratorKernel, _read_json
+
+    (tmp_path / 'a.json').write_text(_json.dumps([{'id': 1, 'name': 'x'}]))
+    (tmp_path / 'b.json').write_text(_json.dumps([{'id': 2, 'extra': 'y'}]))
+    rule = {'logical_source_value': str(tmp_path / '*.json'), 'iterator': '$.[*]'}
+
+    # 'extra' only exists in b.json -> valid at source level
+    ds = _read_json(rule, ['id', 'extra'], na_values=[], strict=True)
+    assert ds.count() >= 1
+
+    # 'nope' exists in no file -> source-level error
+    with pytest.raises(ValueError, match='invalid reference'):
+        _read_json(rule, ['id', 'nope'], na_values=[], strict=True)
+
+
+def test_sql_dialect_quoting():
+    from morph_kgc_ray.sources.readers import _build_sql_query
+    rule = {'logical_source_type': 'http://w3id.org/rml/tableName',
+            'logical_source_value': 'Student'}
+    ansi = _build_sql_query(rule, ['Name'], 'postgresql://u@h/db')
+    assert ansi == 'SELECT "Name" FROM "Student" WHERE "Name" IS NOT NULL'
+    my = _build_sql_query(rule, ['Name'], 'mysql+pymysql://u@h/db')
+    assert my == 'SELECT `Name` FROM `Student` WHERE `Name` IS NOT NULL'
+    sqlite = _build_sql_query(rule, ['Name'], 'sqlite:///x.db')
+    assert '"Name"' in sqlite
