@@ -113,7 +113,8 @@ def minhash_signatures(ds: ray.data.Dataset, num_perm: int = 64, k: int = 5,
 
 def minhash_lsh_candidates(ds: ray.data.Dataset, id_col: str = 'doc_id', num_perm: int = 64,
                            bands: int = 16, text_col: str = 'text',
-                           all_pairs_cap: int = 64) -> ray.data.Dataset:
+                           all_pairs_cap: int = 64,
+                           small: bool = False) -> ray.data.Dataset:
     """Candidate near-duplicate pairs via banded LSH.
 
     Pipeline: signatures (actor pool) -> explode to (band, band_hash, id)
@@ -124,7 +125,13 @@ def minhash_lsh_candidates(ds: ray.data.Dataset, id_col: str = 'doc_id', num_per
     near-dup group of size >= 3 shares every band bucket, and star-pairing
     alone would omit its non-min pairs); hot buckets beyond the cap degrade
     to star-pairing on the bucket minimum (quadratic guard) — connectivity
-    is preserved either way, only pair-level completeness needs the cap."""
+    is preserved either way, only pair-level completeness needs the cap.
+
+    ``small=True`` is the plan-time small-input fast path (the caller KNOWS
+    the corpus is small, e.g. from file sizes): the band rows coalesce into
+    ONE block for pairing and the final distinct runs single-block — the two
+    keyed exchanges are pure spin-up cost at that size.  Semantics are
+    identical; at scale leave it False."""
     rows_per_band = num_perm // bands
     sig_ds = minhash_signatures(ds.select_columns([id_col, text_col]), num_perm=num_perm,
                                 text_col=text_col)
@@ -151,12 +158,13 @@ def minhash_lsh_candidates(ds: ray.data.Dataset, id_col: str = 'doc_id', num_per
                          id_col: pa.array(np.concatenate(out_id))})
 
     band_ds = sig_ds.map_batches(explode_bands, batch_format='pyarrow')
-    pairs = _bucket_pairs(band_ds, id_col, all_pairs_cap=all_pairs_cap)
-    return distinct(pairs, ['id_a', 'id_b'])
+    pairs = _bucket_pairs(band_ds, id_col, all_pairs_cap=all_pairs_cap, small=small)
+    return distinct(pairs, ['id_a', 'id_b'], small=small)
 
 
 def _bucket_pairs(band_ds: ray.data.Dataset, id_col: str, all_pairs_cap: int = 0,
-                  num_partitions: 'int | None' = None) -> ray.data.Dataset:
+                  num_partitions: 'int | None' = None,
+                  small: bool = False) -> ray.data.Dataset:
     """Candidate pairs from (band, band_hash, id) rows: ONE keyed exchange on
     a small int bucket column co-locates equal buckets, then each block
     builds its pairs with a vectorized lexsort + boundary scan (a per-bucket
@@ -182,8 +190,13 @@ def _bucket_pairs(band_ds: ray.data.Dataset, id_col: str, all_pairs_cap: int = 0
         mix = (bh * np.uint64(0x9E3779B97F4A7C15) + b) % np.uint64(buckets)
         return t.append_column('__bucket', pa.array(mix.astype(np.int64)))
 
-    ds = band_ds.map_batches(add_bucket, batch_format='pyarrow')
-    ds = ds.repartition(buckets, keys=['__bucket'], sort=False)
+    if small:
+        # one block holds every band row: groups form inside the single
+        # pairs_in_block lexsort, no keyed exchange needed
+        ds = band_ds.repartition(1)
+    else:
+        ds = band_ds.map_batches(add_bucket, batch_format='pyarrow')
+        ds = ds.repartition(buckets, keys=['__bucket'], sort=False)
 
     def pairs_in_block(t: pa.Table) -> pa.Table:
         e = pa.array([], pa.int64())
@@ -222,9 +235,35 @@ def _bucket_pairs(band_ds: ray.data.Dataset, id_col: str, all_pairs_cap: int = 0
 _LABEL_SENTINEL = 1 << 62
 
 
+def _union_find_labels(nodes: np.ndarray, nbrs: np.ndarray) -> 'tuple[np.ndarray, np.ndarray]':
+    """Driver union-find (path-halving) over an edge list of int64 node ids;
+    returns (unique_nodes, min-reachable-id label per node)."""
+    uniq, inv = np.unique(np.concatenate([nodes, nbrs]), return_inverse=True)
+    parent = np.arange(len(uniq))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    half = len(nodes)
+    for a, b in zip(inv[:half].tolist(), inv[half:].tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min-uniq-value so the root IS the min id of the tree
+            if uniq[ra] <= uniq[rb]:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    labels = np.array([uniq[find(i)] for i in range(len(uniq))], dtype=np.int64)
+    return uniq, labels
+
+
 def min_label_clusters(pairs: ray.data.Dataset, id_col: str = 'doc_id',
                        rounds: 'int | None' = None, num_partitions: int = 16,
-                       max_rounds: int = 50) -> ray.data.Dataset:
+                       max_rounds: int = 50,
+                       driver_edge_cap: int = 2_000_000) -> ray.data.Dataset:
     """Connected-component labels over a candidate-pair graph: each involved
     node gets cluster label = min id reachable in its component.  Fully in
     the data plane — each round is one keyed join + groupby-min (no
@@ -256,10 +295,27 @@ def min_label_clusters(pairs: ray.data.Dataset, id_col: str = 'doc_id',
     # schema-less blocks would make the join build schema-less partitions)
     edges = pairs.map_batches(both_dirs, batch_format='pyarrow') \
                  .repartition(num_partitions).materialize()
-    if edges.count() == 0:  # empty graph: no clusters (all-empty datasets
+    n_edges = edges.count()
+    if n_edges == 0:  # empty graph: no clusters (all-empty datasets
         # lose their schema through groupby/join, so short-circuit)
         return ray.data.from_arrow(pa.table({id_col: pa.array([], pa.int64()),
                                              'cluster_id': pa.array([], pa.int64())}))
+
+    # Small-graph fast path: the pair graph is the OUTPUT of LSH + exact
+    # verification, typically orders of magnitude smaller than the corpus.
+    # Below the cap (~32 MB of int64 edges) a driver union-find beats the
+    # per-round join+groupby exchanges by a wide margin and converges exactly
+    # regardless of chain length.  Above it, the join-based propagation below
+    # is the plan that scales (no driver materialization).  The fixed-round
+    # mode keeps the distributed plan so its semantics stay testable.
+    if rounds is None and n_edges <= driver_edge_cap:
+        chunks_n, chunks_b = [], []
+        for t in edges.iter_batches(batch_format='pyarrow', batch_size=65536):
+            chunks_n.append(t['node'].to_numpy(zero_copy_only=False).astype(np.int64))
+            chunks_b.append(t['nbr'].to_numpy(zero_copy_only=False).astype(np.int64))
+        uniq, labels = _union_find_labels(np.concatenate(chunks_n), np.concatenate(chunks_b))
+        return ray.data.from_arrow(pa.table({id_col: pa.array(uniq),
+                                             'cluster_id': pa.array(labels)}))
 
     def _as_labels(t: pa.Table) -> pa.Table:
         if t.num_columns != 2:
@@ -334,14 +390,16 @@ def min_label_clusters(pairs: ray.data.Dataset, id_col: str = 'doc_id',
 def minhash_dedup_clusters(ds: ray.data.Dataset, id_col: str = 'doc_id', text_col: str = 'text',
                            num_perm: int = 64, bands: int = 16, rounds: 'int | None' = None,
                            verify_threshold: 'float | None' = 0.5,
-                           num_partitions: int = 16) -> ray.data.Dataset:
+                           num_partitions: int = 16,
+                           small: bool = False) -> ray.data.Dataset:
     """Near-duplicate clusters: banded-LSH candidates, exact 5-word-shingle
     Jaccard verification via a bucketed JOIN against the doc texts (no corpus
     broadcast; drops LSH false positives before they merge unrelated
     clusters), then join-based min-label propagation iterated to
-    convergence."""
+    convergence.  ``small=True``: plan-time small-corpus hint, see
+    ``minhash_lsh_candidates``."""
     pairs = minhash_lsh_candidates(ds, id_col=id_col, num_perm=num_perm, bands=bands,
-                                   text_col=text_col)
+                                   text_col=text_col, small=small)
     if verify_threshold is not None:
         pairs = verify_pairs_jaccard(pairs, ds, id_col=id_col, text_col=text_col,
                                      threshold=verify_threshold,
@@ -595,11 +653,19 @@ def shingle_jaccard(a: str, b: str, k: int = 5) -> float:
 
 def verify_pairs_jaccard(pairs: ray.data.Dataset, docs: ray.data.Dataset, id_col: str = 'doc_id',
                          text_col: str = 'text', threshold: float = 0.8,
-                         num_partitions: int = 16, metric: str = 'word5') -> ray.data.Dataset:
+                         num_partitions: int = 16, metric: str = 'word5',
+                         broadcast_pair_cap: int = 20_000) -> ray.data.Dataset:
     """Filter candidate pairs by exact Jaccard via two hash-partitioned
     joins against the doc texts (pairs ⋈ docs on id_a, then on id_b) — texts
     travel only to the pairs that need them, so this scales with the
     CANDIDATE volume rather than broadcasting the whole corpus.
+
+    Small candidate sets (≤ ``broadcast_pair_cap``) skip the joins: the
+    involved ids are collected (ints only), the matching texts are filtered
+    out of ONE corpus scan and broadcast via ``ray.put`` (≤ 2·cap docs), and
+    scoring runs as one map over the pairs — the two hash-shuffle joins are
+    pure fixed overhead at that size.  The join plan remains the path that
+    scales with candidate volume.
 
     ``metric='word5'`` (default) uses 5-word-shingle Jaccard — the metric
     MinHash-LSH candidates approximate, so thresholding here measures the
@@ -607,6 +673,47 @@ def verify_pairs_jaccard(pairs: ray.data.Dataset, docs: ray.data.Dataset, id_col
     uses character-3-gram Jaccard (edit-level similarity; note natural-text
     corpora share most char-3-grams, so background pairs score high)."""
     docs = docs.select_columns([id_col, text_col])
+    sim_fn = shingle_jaccard if metric == 'word5' else ngram_jaccard
+
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
+    if n_pairs <= broadcast_pair_cap:
+        import ray as _ray
+        pt = pa.concat_tables(
+            [t.select(['id_a', 'id_b']) for t in
+             pairs.iter_batches(batch_format='pyarrow', batch_size=None)
+             if t.num_rows and 'id_a' in t.column_names]
+        ) if n_pairs else pa.table({'id_a': pa.array([], pa.int64()),
+                                    'id_b': pa.array([], pa.int64())})
+        if n_pairs == 0:
+            return ray.data.from_arrow(pt.append_column(
+                'jaccard', pa.array([], pa.float64())))
+        ids_a = pt['id_a'].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids_b = pt['id_b'].to_numpy(zero_copy_only=False).astype(np.int64)
+        involved = np.unique(np.concatenate([ids_a, ids_b]))
+        inv_arr = pa.array(involved)
+
+        def pick(t: pa.Table) -> pa.Table:
+            m = pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=inv_arr)
+            return t.filter(m)
+
+        texts: dict = {}
+        for t in docs.map_batches(pick, batch_format='pyarrow') \
+                     .iter_batches(batch_format='pyarrow', batch_size=None):
+            for i, s in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+                texts[i] = s or ''
+        ref = _ray.put(texts)
+
+        def score_bcast(t: pa.Table) -> pa.Table:
+            lookup = _ray.get(ref)
+            a_ids = t['id_a'].to_pylist()
+            b_ids = t['id_b'].to_pylist()
+            sims = pa.array([sim_fn(lookup.get(a, ''), lookup.get(b, ''))
+                             for a, b in zip(a_ids, b_ids)], pa.float64())
+            out = t.select(['id_a', 'id_b']).append_column('jaccard', sims)
+            return out.filter(pc.greater_equal(sims, threshold))
+
+        return ray.data.from_arrow(pt).map_batches(score_bcast, batch_format='pyarrow')
 
     def _side(a_or_b: str):
         def fn(t: pa.Table) -> pa.Table:

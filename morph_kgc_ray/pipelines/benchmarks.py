@@ -37,6 +37,17 @@ def _p(sf_dir: str, table: str) -> str:
     return f'{sf_dir}/{table}.parquet'
 
 
+def _small(sf_dir: str, table: str, cap_bytes: int = 64 << 20) -> bool:
+    """Plan-time small-input hint from the file size (mirrors the engine's
+    small-source fast-path decision): below the cap, keyed exchanges are
+    pure spin-up overhead and ops switch to single-block plans."""
+    import os
+    try:
+        return os.path.getsize(_p(sf_dir, table)) <= cap_bytes
+    except OSError:
+        return False
+
+
 # --------------------------------------------------------------------------
 # RML engine pipelines (exercise the real mapping front-end + materializer)
 # --------------------------------------------------------------------------
@@ -228,7 +239,7 @@ def jaccard_verified_pairs_documents(sf_dir: str):
     j~0.99 where the 16x4 band miss probability is ~1e-22; the corpus has no
     pairs near the 0.5 threshold — verified at sf 0.001/0.01/0.1)."""
     ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
-    pairs = dedup_ops.minhash_lsh_candidates(ds)
+    pairs = dedup_ops.minhash_lsh_candidates(ds, small=_small(sf_dir, 'documents'))
     out = dedup_ops.verify_pairs_jaccard(pairs, ds, threshold=0.5)
     return out.select_columns(['id_a', 'id_b'])
 
@@ -253,7 +264,7 @@ def minhash_dedup_documents(sf_dir: str):
     recursive-CTE connected components over the exact shingle-Jaccard pair
     SQL (see ``jaccard_verified_pairs_documents`` for the recall claim)."""
     ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
-    return dedup_ops.minhash_dedup_clusters(ds)
+    return dedup_ops.minhash_dedup_clusters(ds, small=_small(sf_dir, 'documents'))
 
 
 def lang_id_documents(sf_dir: str):

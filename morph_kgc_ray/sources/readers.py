@@ -39,16 +39,28 @@ def read_parquet_clean(paths, columns=None, **kwargs) -> ray.data.Dataset:
     parallelism regardless of size, which shreds a KB-scale file into dozens
     of near-empty blocks and turns every downstream stage into pure task
     overhead.  Inputs above the threshold keep Ray's own streaming split."""
+    import pyarrow.parquet as _pq
+    files = []
+    for p in ([paths] if isinstance(paths, str) else list(paths)):
+        if os.path.isdir(p):
+            files += [os.path.join(r, f) for r, _, fs in os.walk(p)
+                      for f in fs if f.endswith('.parquet')]
+        elif os.path.exists(p):
+            files.append(p)
+    if files and 'schema' not in kwargs:
+        # metadata-stripped (projected) schema handed to the READ op itself:
+        # stripping after the read leaves the pandas blob inside
+        # ReadParquet->SplitBlocks, whose schema-dedup hash then warns per
+        # block.  One footer read; cheap at any file count.
+        try:
+            sch = _pq.read_schema(files[0]).remove_metadata()
+            if columns is not None:
+                sch = pa.schema([sch.field(c) for c in columns])
+            kwargs['schema'] = sch
+        except (OSError, KeyError):
+            pass
     if 'override_num_blocks' not in kwargs:
         try:
-            import pyarrow.parquet as _pq
-            files = []
-            for p in ([paths] if isinstance(paths, str) else list(paths)):
-                if os.path.isdir(p):
-                    files += [os.path.join(r, f) for r, _, fs in os.walk(p)
-                              for f in fs if f.endswith('.parquet')]
-                elif os.path.exists(p):
-                    files.append(p)
             if files and len(files) <= 64:  # metadata probe only for few-file inputs
                 rows = sum(_pq.read_metadata(f).num_rows for f in files)
                 size = sum(os.path.getsize(f) for f in files)
@@ -63,6 +75,8 @@ def read_parquet_clean(paths, columns=None, **kwargs) -> ray.data.Dataset:
         except OSError:
             pass
     ds = ray.data.read_parquet(paths, columns=columns, **kwargs)
+    if 'schema' in kwargs:
+        return ds  # read already produces clean-schema blocks
 
     def strip(t: pa.Table) -> pa.Table:
         return t.replace_schema_metadata(None) if t.schema.metadata else t

@@ -53,6 +53,17 @@ def test_min_label_clusters_converges_on_long_chain(ray_session):
     assert set(out['cluster_id']) == {1}
 
 
+def test_min_label_clusters_distributed_converges(ray_session):
+    """Same 6-node chain, but forced through the DISTRIBUTED convergence
+    loop (driver_edge_cap=0 disables the union-find fast path)."""
+    import ray.data as rd
+    from morph_kgc_ray.ops.dedup import min_label_clusters
+    pairs = rd.from_items([{'id_a': a, 'id_b': a + 1} for a in range(1, 6)])
+    out = min_label_clusters(pairs, driver_edge_cap=0).to_pandas()
+    assert set(out['doc_id']) == {1, 2, 3, 4, 5, 6}
+    assert set(out['cluster_id']) == {1}
+
+
 def test_min_label_clusters_fixed_rounds_still_supported(ray_session):
     import ray.data as rd
     from morph_kgc_ray.ops.dedup import min_label_clusters
