@@ -7,9 +7,11 @@ executor semantics (fnml_executer.py:69-122: recursive composite resolution,
 parameter binding from constants/templates/references/nested executions,
 per-row invocation, null drop, list-result explosion).
 
-Execution runs inside ``map_batches`` on pandas batches; when UDFs are
-configured the stage should be an actor pool so the UDF module loads once per
-worker (load_udfs is memoized per process here).
+Execution runs inside ``map_batches`` on Arrow batches — parameters bind as
+Arrow arrays, vectorized built-ins consume them zero-copy, and only the
+per-row scalar fallback materializes Python values.  When UDFs are configured
+the stage should be an actor pool so the UDF module loads once per worker
+(load_udfs is memoized per process here).
 """
 
 from __future__ import annotations
@@ -21,6 +23,7 @@ from uuid import uuid4
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import Config
 from ..constants import (
@@ -277,28 +280,43 @@ VECTORIZED_BIFS = {
 }
 
 
-def _expand_template_series(df: pd.DataFrame, template: str) -> pd.Series:
-    references = get_references_in_template(template)
-    template = template.replace('\\{', '{').replace('\\}', '}')
-    out = pd.Series([''] * len(df), index=df.index)
-    for reference in references:
-        parts = template.split('{' + reference + '}')
-        out = out + parts[0] + df[reference].astype(str)
-        template = ('{' + reference + '}').join(parts[1:])
-    if template:
-        out = out + template
-    return out
+def _expand_template_array(table: pa.Table, template: str) -> pa.Array:
+    """Vectorized template expansion over an Arrow batch (scanner-based
+    segments; reference columns stringified to large_string)."""
+    from .kernels import parse_template_segments
+    parts: list = []
+    for kind, val in parse_template_segments(template):
+        if kind == 'const':
+            parts.append(val)
+        else:
+            col = table[val]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            parts.append(col.cast(pa.large_string()))
+    if all(isinstance(p, str) for p in parts):
+        return pa.array([''.join(parts)] * table.num_rows, pa.large_string())
+    return ljoin(*parts)
 
 
-def execute_fnml(df: pd.DataFrame, fnml_df: pd.DataFrame, execution_id: str, config: Config) -> pd.DataFrame:
-    """Adds a column named ``execution_id`` with the function results;
-    null results dropped, list results exploded (fnml_executer.py:69-122)."""
+def _stringify_col(col) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.cast(pa.large_string())
+
+
+def execute_fnml(table: pa.Table, fnml_df: pd.DataFrame, execution_id: str,
+                 config: Config) -> pa.Table:
+    """Returns ``table`` with a large_string column named ``execution_id``
+    holding the function results; null/na results dropped, list results
+    exploded via ``take`` (reference fnml_executer.py:69-122).  Parameters
+    bind as Arrow arrays end-to-end — the vectorized built-ins consume them
+    zero-copy; only the per-row scalar fallback materializes Python values."""
     rules = fnml_df[fnml_df['function_execution'] == execution_id]
     function_id = rules.iloc[0]['function_map_value']
 
     for _, p in rules.iterrows():
         if p['value_map_type'] == RML_EXECUTION:
-            df = execute_fnml(df, fnml_df, p['value_map_value'], config)
+            table = execute_fnml(table, fnml_df, p['value_map_value'], config)
 
     param_types = dict(zip(rules['parameter_map_value'], rules['value_map_type']))
     param_values = dict(zip(rules['parameter_map_value'], rules['value_map_value']))
@@ -312,49 +330,63 @@ def execute_fnml(df: pd.DataFrame, fnml_df: pd.DataFrame, execution_id: str, con
     decorator_params = entry['parameters']
 
     const_args: dict = {}
-    series_args: dict = {}
+    arr_args: dict = {}
     for arg_name, param_iri in decorator_params.items():
         if param_iri in param_types:
             if param_types[param_iri] == RML_CONSTANT:
                 const_args[arg_name] = param_values[param_iri]
             elif param_types[param_iri] == RML_TEMPLATE:
-                series_args[arg_name] = _expand_template_series(df, param_values[param_iri])
+                arr_args[arg_name] = _expand_template_array(table, param_values[param_iri])
             else:  # reference or nested execution result column
-                series_args[arg_name] = df[param_values[param_iri]].astype(str)
+                arr_args[arg_name] = _stringify_col(table[param_values[param_iri]])
 
-    df = df.copy()
+    n = table.num_rows
+    na_values = config.get_na_values()
+
     vec = VECTORIZED_BIFS.get(function_id)
-    results = None
-    if vec is not None and len(df) and series_args:  # all-constant args: scalar path
-        arrs = {k: pa.array(list(v), pa.large_string()) for k, v in series_args.items()}
+    if vec is not None and n and arr_args:  # all-constant args: scalar path
         try:
-            res = vec(**const_args, **arrs)
+            res = vec(**const_args, **arr_args)
         except Exception:  # ArrowInvalid/ArrowNotImplementedError/TypeError:
             res = None     # decline to the per-row scalar path, which may succeed
-        if isinstance(res, (pa.Array, pa.ChunkedArray)):
-            if isinstance(res, pa.ChunkedArray):
-                res = res.combine_chunks()
-            results = res.to_pandas()
-            results.index = df.index
-    if results is None:
-        bound = {k: [v] * len(df) for k, v in const_args.items()}
-        bound.update({k: list(v) for k, v in series_args.items()})
-        results = [function(**{k: v[i] for k, v in bound.items()}) for i in range(len(df))]
-    df[execution_id] = results
+        if isinstance(res, pa.ChunkedArray):
+            res = res.combine_chunks()
+        if isinstance(res, pa.Array):
+            res = res.cast(pa.large_string())
+            keep = pc.is_valid(res)
+            if na_values:
+                keep = pc.and_(keep, pc.invert(pc.is_in(
+                    res, value_set=pa.array(list(na_values), pa.large_string()))))
+            out = table.append_column(execution_id, res)
+            return out.filter(keep) if not pc.all(keep).as_py() else out
 
-    na_values = set(config.get_na_values())
-    df[execution_id] = df[execution_id].map(
-        lambda v: None if (v is None or (isinstance(v, str) and v in na_values)) else v)
-    df = df.dropna(subset=[execution_id])
-    df = df.explode(execution_id)
-    df = df.dropna(subset=[execution_id])
-    return df
+    # scalar fallback: per-row Python invocation; list results explode by
+    # emitting one (row-index, item) per element, then table.take(indices)
+    lists = {k: v.to_pylist() for k, v in arr_args.items()}
+    na_set = set(na_values)
+    idx: list[int] = []
+    vals: list[str] = []
+    for i in range(n):
+        kwargs = dict(const_args)
+        for k, v in lists.items():
+            kwargs[k] = v[i]
+        r = function(**kwargs)
+        items = r if isinstance(r, (list, tuple)) else (r,)
+        for item in items:
+            if item is None or (isinstance(item, str) and item in na_set):
+                continue
+            idx.append(i)
+            vals.append(item if isinstance(item, str) else str(item))
+    out = table if len(idx) == n and idx == list(range(n)) \
+        else table.take(pa.array(idx, pa.int64()))
+    return out.append_column(execution_id, pa.array(vals, pa.large_string()))
 
 
 def make_fnml_term_fn(rule, fnml_df, position: str, config: Config):
     """Returns fn(table, out_col) -> table adding the serialized term column
     for an execution-valued term map (_materialize_fnml_execution,
-    materializer.py:166-191)."""
+    materializer.py:166-191).  Arrow-native end-to-end: no pandas
+    round-trip per batch."""
     execution_id = rule[f'{position}_map_value'] if position != 'lang_datatype' \
         else rule['lang_datatype_map_value']
     def _nn(v, default):
@@ -374,9 +406,8 @@ def make_fnml_term_fn(rule, fnml_df, position: str, config: Config):
         datatype = ''
 
     def fn(table: pa.Table, out_col: str) -> pa.Table:
-        df = table.to_pandas(types_mapper=None)
-        df = execute_fnml(df, fnml_df, execution_id, config)
-        res = pa.array(df[execution_id].astype(str), type=pa.large_string())
+        table = execute_fnml(table, fnml_df, execution_id, config)
+        res = _stringify_col(table[execution_id])
         if termtype == RML_LITERAL:
             res = natural_mapping_array(res, datatype)
             res = escape_literal_array(res)
@@ -386,7 +417,6 @@ def make_fnml_term_fn(rule, fnml_df, position: str, config: Config):
             res = ljoin('<', res, '>')
         elif termtype == RML_BLANK_NODE:
             res = ljoin('_:', res)
-        out = pa.Table.from_pandas(df.drop(columns=[execution_id]), preserve_index=False)
-        return out.append_column(out_col, res)
+        return table.drop_columns([execution_id]).append_column(out_col, res)
 
     return fn
