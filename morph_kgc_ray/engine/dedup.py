@@ -75,7 +75,8 @@ def _ray_cpus(default: int = 8) -> int:
 
 
 def distinct_in_place(ds: ray.data.Dataset, cols: list[str],
-                      local_first: bool = True) -> ray.data.Dataset:
+                      local_first: bool = True,
+                      driver_dup_cap: int = 2_000_000) -> ray.data.Dataset:
     """Exact distinct that never shuffles the payload.
 
     1. per block: local distinct + two 64-bit row hashes (h1,h2) + a unique
@@ -87,9 +88,12 @@ def distinct_in_place(ds: ray.data.Dataset, cols: list[str],
        locally: keep a row unless its hash lost to another block.
 
     Scales with the DUPLICATE volume, not the data volume: the wide columns
-    cross the wire zero times.  Assumes the cross-block duplicate set fits
-    in the object store (true for web-dedup workloads where dup rates are
-    percent-scale; fall back to ``distinct`` otherwise)."""
+    cross the wire zero times.  The cross-block-duplicate map is COUNTED in
+    the data plane first; above ``driver_dup_cap`` (where the driver dict
+    would be the bottleneck — e.g. a 10% dup rate at 100 TB) the already-
+    materialized payload reroutes through the bucket-keyed ``distinct``
+    exchange instead, automatically — one payload shuffle, no driver
+    state."""
     import uuid
 
     import numpy as np
@@ -129,10 +133,24 @@ def distinct_in_place(ds: ray.data.Dataset, cols: list[str],
         dup = dup.rename(columns={'min': 'winner'})
         return dup[['__h1', '__h2', 'winner']]
 
-    dup_pd = mat.select_columns(['__h1', '__h2', '__bid']) \
+    dup_ds = mat.select_columns(['__h1', '__h2', '__bid']) \
                 .map_batches(add_bucket, batch_format='pyarrow') \
                 .groupby('__bucket').map_groups(winners_in_bucket, batch_format='pandas') \
-                .to_pandas()
+                .materialize()
+    if dup_ds.count() > driver_dup_cap:
+        # duplicate volume too large for a driver-side map: reroute the
+        # materialized payload through the keyed-exchange distinct (rows are
+        # already block-locally distinct, skip that pass)
+        import logging
+        logging.getLogger(__name__).info(
+            'distinct_in_place: %d cross-block duplicate hashes exceed the '
+            'driver map cap (%d); falling back to the keyed-exchange distinct',
+            dup_ds.count(), driver_dup_cap)
+        payload = mat.map_batches(
+            lambda t: t.drop_columns(['__h1', '__h2', '__bid']),
+            batch_format='pyarrow')
+        return distinct(payload, cols, local_first=False)
+    dup_pd = dup_ds.to_pandas()
     if '__h1' not in dup_pd.columns:  # empty results lose their schema
         dup_pd = pd.DataFrame({'__h1': [], '__h2': [], 'winner': []})
     winners = {(int(a), int(b)): int(w)

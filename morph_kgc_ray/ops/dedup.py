@@ -107,8 +107,12 @@ class MinHashKernel:
 
 def minhash_signatures(ds: ray.data.Dataset, num_perm: int = 64, k: int = 5,
                        text_col: str = 'text', concurrency: int = 4) -> ray.data.Dataset:
-    return ds.map_batches(MinHashKernel(num_perm, k, text_col), batch_format='pyarrow',
-                          concurrency=concurrency, batch_size=2048)
+    # real actor pool (class + constructor args): permutation state built once
+    # per actor; (1, N) autoscales the pool to the input block count
+    return ds.map_batches(MinHashKernel, fn_constructor_kwargs={
+                              'num_perm': num_perm, 'k': k, 'text_col': text_col},
+                          batch_format='pyarrow',
+                          concurrency=(1, concurrency), batch_size=2048)
 
 
 def minhash_lsh_candidates(ds: ray.data.Dataset, id_col: str = 'doc_id', num_perm: int = 64,
@@ -517,7 +521,7 @@ def embedding_neardup_clusters(ds: ray.data.Dataset, id_col: str = 'vec_id',
     dim = len(first[0][vec_col]) if first else 1
     band_ds = ds.select_columns([id_col, vec_col]).map_batches(
         _SignLSHKernel, fn_constructor_args=(dim, num_hyperplanes, bands, seed, id_col, vec_col),
-        batch_format='pyarrow', concurrency=2, batch_size=4096)
+        batch_format='pyarrow', concurrency=(1, 2), batch_size=4096)
 
     # all pairs inside small buckets (bucket-min pairing would miss x~y links
     # whenever an unrelated smaller id shares a bucket); hot buckets degrade
@@ -615,8 +619,9 @@ class SimHashKernel:
 
 
 def simhash(ds: ray.data.Dataset, text_col: str = 'text', concurrency: int = 4) -> ray.data.Dataset:
-    return ds.map_batches(SimHashKernel(text_col), batch_format='pyarrow',
-                          concurrency=concurrency, batch_size=2048)
+    return ds.map_batches(SimHashKernel, fn_constructor_kwargs={'text_col': text_col},
+                          batch_format='pyarrow',
+                          concurrency=(1, concurrency), batch_size=2048)
 
 
 # --------------------------------------------------------------------------

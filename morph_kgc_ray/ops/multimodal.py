@@ -59,8 +59,9 @@ class ImageDecodeKernel:
 def decode_images(ds: ray.data.Dataset, binary_col: str = 'image', concurrency: int = 4,
                   batch_size: int = 64) -> ray.data.Dataset:
     """Small batches: batch_size * payload must fit the worker heap."""
-    return ds.map_batches(ImageDecodeKernel(binary_col), batch_format='pyarrow',
-                          concurrency=concurrency, batch_size=batch_size)
+    return ds.map_batches(ImageDecodeKernel, fn_constructor_kwargs={'binary_col': binary_col},
+                          batch_format='pyarrow',
+                          concurrency=(1, concurrency), batch_size=batch_size)
 
 
 class FrameSampleKernel:
@@ -90,5 +91,8 @@ class FrameSampleKernel:
 
 def sample_frames(ds: ray.data.Dataset, binary_col: str = 'video', n_frames: int = 4,
                   concurrency: int = 2, batch_size: int = 16) -> ray.data.Dataset:
-    return ds.map_batches(FrameSampleKernel(binary_col, n_frames), batch_format='pyarrow',
-                          concurrency=concurrency, batch_size=batch_size)
+    return ds.map_batches(FrameSampleKernel,
+                          fn_constructor_kwargs={'binary_col': binary_col,
+                                                 'n_frames': n_frames},
+                          batch_format='pyarrow',
+                          concurrency=(1, concurrency), batch_size=batch_size)

@@ -148,8 +148,9 @@ class LangIdKernel:
 
 
 def lang_id(ds: ray.data.Dataset, text_col: str = 'text', concurrency: int = 4) -> ray.data.Dataset:
-    return ds.map_batches(LangIdKernel(text_col), batch_format='pyarrow',
-                          concurrency=concurrency, batch_size=8192)
+    return ds.map_batches(LangIdKernel, fn_constructor_kwargs={'text_col': text_col},
+                          batch_format='pyarrow',
+                          concurrency=(1, concurrency), batch_size=8192)
 
 
 # --------------------------------------------------------------------------

@@ -53,6 +53,19 @@ def test_min_label_clusters_converges_on_long_chain(ray_session):
     assert set(out['cluster_id']) == {1}
 
 
+def test_distinct_in_place_fallback_above_dup_cap(ray_session):
+    """Above driver_dup_cap the broadcast-map path must reroute to the keyed
+    exchange and still produce an exact distinct."""
+    import ray.data as rd
+    from morph_kgc_ray.engine.dedup import distinct_in_place
+    rows = [{'s': f's{i % 40}', 'p': 'p', 'o': f'o{i % 40}'} for i in range(400)]
+    ds = rd.from_items(rows).repartition(8)
+    for cap in (0, 10**6):  # forced fallback and normal path agree
+        out = distinct_in_place(ds, ['s', 'p', 'o'], driver_dup_cap=cap).to_pandas()
+        assert len(out) == 40
+        assert len(out.drop_duplicates()) == 40
+
+
 def test_min_label_clusters_distributed_converges(ray_session):
     """Same 6-node chain, but forced through the DISTRIBUTED convergence
     loop (driver_edge_cap=0 disables the union-find fast path)."""
