@@ -192,16 +192,38 @@ def read_source(rule, references: list[str], config: Config, python_source=None,
         ds = ray.data.from_pandas(pd.read_stata(rule['logical_source_value'], columns=references,
                                                 convert_dates=False, convert_categoricals=False,
                                                 preserve_dtypes=False))
-    elif source_type in ('XLSX', 'XLS', 'ODS'):
+    elif source_type in ('XLSX', 'ODS'):
+        ds = _read_spreadsheet(rule, source_type)
+    elif source_type == 'XLS':
         raise NotImplementedError(
-            f'{source_type} sources need the optional dependency openpyxl/odfpy '
-            '(not available in this environment)')
+            'legacy binary .xls needs xlrd (not available in this environment); '
+            'convert to .xlsx (read natively here)')
     elif source_type in ('SAS7BDAT', 'XPT', 'SAV', 'ZSAV'):
         raise NotImplementedError(f'{source_type} sources need optional pandas IO dependencies')
     else:
         raise ValueError(f'Unsupported source type `{source_type}`.')
 
     return ds.map_batches(prologue, batch_format='pyarrow')
+
+
+def _read_spreadsheet(rule, source_type: str) -> ray.data.Dataset:
+    """XLSX/ODS via the stdlib zip+XML parser (reference semantics:
+    data_file.py:121-137 — first sheet, header row, dtype=str, no NA
+    filtering).  One file per input row, parsed inside map_batches so a
+    multi-file glob parallelizes per file."""
+    from .spreadsheet import read_ods_rows, read_xlsx_rows, rows_to_table
+
+    parse = read_xlsx_rows if source_type == 'XLSX' else read_ods_rows
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for blob in batch['bytes']:
+            t = rows_to_table(parse(bytes(blob)))
+            frames.append(t.to_pandas())
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+
+    ds = ray.data.read_binary_files(_expand_source_paths(rule['logical_source_value']))
+    return ds.map_batches(kernel, batch_format='pandas')
 
 
 def _read_csv(rule, references, source_type) -> ray.data.Dataset:

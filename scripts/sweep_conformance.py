@@ -32,8 +32,6 @@ ROOT = '/root/reference/test'
 
 # documented deviations / environment gaps (see tests/test_conformance.py)
 KNOWN_SKIPS = (
-    'RMLTC0002a_EXCEL',   # openpyxl not installed in this environment
-    'RMLTC0002a_ODS',     # odfpy not installed
     'RMLFNOTC0000-CSV',   # uuid() built-in is nondeterministic; golden pins one value
     # r2rml goldens inconsistent with the fork's own engine behavior: these
     # goldens keep W3C canonical-datatype forms (xsd:integer/double/date
