@@ -51,12 +51,17 @@ def read_parquet_clean(paths, columns=None, **kwargs) -> ray.data.Dataset:
         # metadata-stripped (projected) schema handed to the READ op itself:
         # stripping after the read leaves the pandas blob inside
         # ReadParquet->SplitBlocks, whose schema-dedup hash then warns per
-        # block.  One footer read; cheap at any file count.
+        # block.  ONLY when the files actually carry metadata — an explicit
+        # schema= makes Ray's parquet read measurably slower (~2x on the
+        # 150k-page corpus, presumably bypassing its sampled block split),
+        # so clean files keep the native fast read.
         try:
-            sch = _pq.read_schema(files[0]).remove_metadata()
-            if columns is not None:
-                sch = pa.schema([sch.field(c) for c in columns])
-            kwargs['schema'] = sch
+            sch = _pq.read_schema(files[0])
+            if sch.metadata:
+                sch = sch.remove_metadata()
+                if columns is not None:
+                    sch = pa.schema([sch.field(c) for c in columns])
+                kwargs['schema'] = sch
         except (OSError, KeyError):
             pass
     if 'override_num_blocks' not in kwargs:
