@@ -594,7 +594,9 @@ class SimHashKernel:
         v = self._cache.get(w)
         if v is None:
             import hashlib
-            h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), 'little')
+            # sha256 (not blake2b) so the signature is reproducible in plain
+            # SQL (DuckDB sha256) — the driver's oracle recomputes it exactly
+            h = int.from_bytes(hashlib.sha256(w.encode()).digest()[:8], 'little')
             bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
             v = np.where(bits.astype(bool), 1, -1).astype(np.int32)
             if len(self._cache) >= self._MAX_CACHE:

@@ -37,7 +37,8 @@ class ImageDecodeKernel:
         if self.strict:
             raise NotImplementedError('image decoding requires Pillow; not in this container')
         # deterministic fake: dimensions and features derived from a hash
-        h = hashlib.blake2b(blob, digest_size=16).digest()
+        # (sha256 so the fake is reproducible in SQL for the oracle check)
+        h = hashlib.sha256(blob).digest()
         width = 64 + h[0]
         height = 64 + h[1]
         feats = (np.frombuffer(h, dtype=np.uint8)[:self.feature_dim].astype(np.float32) / 255.0)

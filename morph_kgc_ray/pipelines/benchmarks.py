@@ -7,9 +7,10 @@ equivalent ANSI-SQL oracle runnable by DuckDB on the same parquet files.
 Column names match between the two on purpose — the harness compares
 row-count + schema + order-insensitive value hash.
 
-Queries whose semantics SQL cannot express (MinHash-LSH, SimHash, language
-ID, the full web-KG pipeline, multimodal stubs) have no oracle entry and get
-the driver's rows-only check.
+Every query has an oracle except ``embedding_neardup_clusters_lsh``: LSH
+candidate generation is intrinsically approximate (seeded random
+hyperplanes), so only the exact-path variant is hash-checked and the LSH
+variant gets the driver's rows-only check.
 """
 
 from __future__ import annotations
@@ -287,8 +288,8 @@ def embedding_neardup_clusters_lsh(sf_dir: str):
 
 
 def simhash_documents(sf_dir: str):
-    """SimHash signatures (rows-only: blake2b word hashing is not available
-    in DuckDB SQL)."""
+    """SimHash signatures (oracle-checked: the sha256 word hash is
+    recomputed bit-exactly in DuckDB SQL)."""
     ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
     return dedup_ops.simhash(ds).select_columns(['doc_id', 'simhash'])
 
@@ -663,6 +664,57 @@ ORACLE_SQL['embedding_neardup_clusters'] = _components_sql(_cosine_pairs_cte(0.5
 ORACLE_SQL['lang_id_documents'] = (
     f'SELECT doc_id, {_langid_case_sql()} AS lang_pred '
     f"FROM (SELECT doc_id, {_langid_score_columns('text')} FROM documents)")
+
+
+def _hexbyte_sql(hexcol: str, j: int) -> str:
+    """SQL expression for byte ``j`` of a lowercase hex digest string."""
+    hi = f"(strpos('0123456789abcdef', substr({hexcol}, {2 * j + 1}, 1)) - 1)"
+    lo = f"(strpos('0123456789abcdef', substr({hexcol}, {2 * j + 2}, 1)) - 1)"
+    return f'({hi} * 16 + {lo})'
+
+
+def _simhash_oracle_sql() -> str:
+    """Exact SQL recomputation of SimHashKernel: per unique word, sha256 ->
+    first 8 digest bytes as a little-endian uint64 -> +-1 per bit weighted by
+    the word count; the signature sets bit i where the accumulator > 0."""
+    h_expr = ' + '.join(f'{_hexbyte_sql("hx", j)}::HUGEINT * {1 << (8 * j)}::HUGEINT'
+                        for j in range(8))
+    return f'''
+    WITH toks AS (
+        SELECT doc_id, tok, count(*)::HUGEINT AS c
+        FROM (SELECT doc_id, unnest(regexp_split_to_array(coalesce(text, ''), '\\s+')) AS tok
+              FROM documents)
+        WHERE tok <> ''
+        GROUP BY doc_id, tok
+    ), words AS (
+        SELECT doc_id, c, {h_expr} AS h
+        FROM (SELECT doc_id, c, sha256(tok) AS hx FROM toks)
+    ), bits AS (
+        SELECT doc_id, b.i AS bit,
+               sum(c * (CASE WHEN ((h >> b.i) & 1::HUGEINT) = 1::HUGEINT
+                             THEN 1 ELSE -1 END)) AS acc
+        FROM words, generate_series(0, 63) b(i)
+        GROUP BY doc_id, b.i
+    ), sig AS (
+        SELECT doc_id,
+               sum(CASE WHEN acc > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS s
+        FROM bits GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(s.s, 0)::UBIGINT AS simhash
+    FROM documents d LEFT JOIN sig s USING (doc_id)
+    '''
+
+
+ORACLE_SQL['simhash_documents'] = _simhash_oracle_sql()
+
+# the deterministic fake decode: sha256 of the payload bytes, width/height
+# from the first two digest bytes (ops/multimodal.py ImageDecodeKernel)
+ORACLE_SQL['multimodal_image_features'] = f'''
+    SELECT doc_id,
+           64 + {_hexbyte_sql("sha256(coalesce(text, ''))", 0)} AS width,
+           64 + {_hexbyte_sql("sha256(coalesce(text, ''))", 1)} AS height
+    FROM documents
+'''
 
 
 def get_oracle_sql() -> dict[str, str]:
