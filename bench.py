@@ -55,6 +55,7 @@ def run_scaling() -> None:
     # larger corpus for the scaling measurement so compute dominates the
     # fixed per-session costs (worker/aggregator startup) at both levels
     os.environ.setdefault('GRAFT_HEADLINE_ROWS', '600000')
+    ctrl = _host_cpu_control(lo, hi)
     r_lo, r_hi = run(lo), run(hi)
     t_lo, t_hi = r_lo['value'], r_hi['value']
     eff = (t_lo / t_hi) / (hi / lo)
@@ -64,8 +65,40 @@ def run_scaling() -> None:
         f'triples_per_sec_{lo}': r_lo.get('triples_per_sec'),
         f'triples_per_sec_{hi}': r_hi.get('triples_per_sec'),
         'scaling_efficiency': round(eff, 3),
+        # the host's OWN lo->hi scaling on embarrassingly-parallel pure-CPU
+        # work (zero shared state, no Ray): all-core turbo droop / SMT make
+        # this < 1.0 on most hosts, and no pipeline can beat it — divide the
+        # raw efficiency by this ceiling to read the pipeline's contribution
+        'host_cpu_control_efficiency': ctrl,
+        'efficiency_vs_host_ceiling': round(min(eff / ctrl, 1.0), 3) if ctrl else None,
         'headline_rows': r_lo.get('headline_rows'),
     }))
+
+
+def _host_cpu_control(lo: int, hi: int, n: int = 60_000_000) -> float:
+    """Pure-CPU busy-loop scaling of THIS host from lo to hi processes
+    (best of two runs per level — turbo-state noise only ever UNDERSTATES
+    the ceiling, which would flatter the pipeline's relative number)."""
+    import multiprocessing as mp
+
+    def rate(procs: int) -> float:
+        best = 0.0
+        with mp.Pool(procs) as p:
+            p.map(_burn, [1000] * procs)  # warm the workers
+            for _ in range(2):
+                t0 = time.time()
+                p.map(_burn, [n] * procs)
+                best = max(best, procs * n / (time.time() - t0))
+        return best
+
+    return round((rate(hi) / rate(lo)) / (hi / lo), 3)
+
+
+def _burn(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
 
 
 def main() -> None:
