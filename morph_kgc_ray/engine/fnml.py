@@ -289,19 +289,22 @@ def _expand_template_array(table: pa.Table, template: str) -> pa.Array:
         if kind == 'const':
             parts.append(val)
         else:
-            col = table[val]
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            parts.append(col.cast(pa.large_string()))
+            parts.append(_stringify_col(table[val]))
     if all(isinstance(p, str) for p in parts):
         return pa.array([''.join(parts)] * table.num_rows, pa.large_string())
     return ljoin(*parts)
 
 
 def _stringify_col(col) -> pa.Array:
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    return col.cast(pa.large_string())
+    """Canonical parameter stringification: python-str/pandas rendering via
+    kernels.stringify_column (float 30.0 -> '30.0', bool -> 'True'), matching
+    the reference's ``data.map(str)`` prologue (materializer.py:44).  In the
+    real pipeline columns arrive pre-stringified from source_prologue (no-op
+    fast path); when called on raw typed columns, nulls stay null, propagate
+    through the function, and drop the row — the same outcome the reference's
+    default na_values produce after its str() rendering."""
+    from .kernels import stringify_column
+    return stringify_column(col)
 
 
 def execute_fnml(table: pa.Table, fnml_df: pd.DataFrame, execution_id: str,
@@ -371,10 +374,16 @@ def execute_fnml(table: pa.Table, fnml_df: pd.DataFrame, execution_id: str,
         for k, v in lists.items():
             kwargs[k] = v[i]
         r = function(**kwargs)
-        items = r if isinstance(r, (list, tuple)) else (r,)
+        if isinstance(r, (list, tuple)):
+            # reference order is remove-nulls-then-explode (fnml_executer
+            # explodes after the scalar-level na filter): na-valued ITEMS
+            # inside a list survive; only None items drop
+            items = [it for it in r if it is not None]
+        elif r is None or (isinstance(r, str) and r in na_set):
+            continue
+        else:
+            items = (r,)
         for item in items:
-            if item is None or (isinstance(item, str) and item in na_set):
-                continue
             idx.append(i)
             vals.append(item if isinstance(item, str) else str(item))
     out = table if len(idx) == n and idx == list(range(n)) \

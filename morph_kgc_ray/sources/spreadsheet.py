@@ -127,6 +127,11 @@ def read_ods_rows(data: bytes) -> list[list[str]]:
         rows: list[list[str]] = []
         for row in table.findall(f'{_TABLE}table-row'):
             cells: list[str] = []
+            # Empty repeat runs (number-columns-repeated) are buffered and
+            # only materialized when a later non-empty cell needs them in
+            # place — leading/mid-row blanks keep their columns, while the
+            # 16k-column trailing padding runs never materialize at all.
+            pending_empty = 0
             for cell in row:
                 if cell.tag not in (f'{_TABLE}table-cell', f'{_TABLE}covered-table-cell'):
                     continue
@@ -144,13 +149,13 @@ def read_ods_rows(data: bytes) -> list[list[str]]:
                     val = '\n'.join((p.text or '') + ''.join(s.tail or '' for s in p)
                                     for p in cell.findall(f'{_TEXT}p')) \
                         if vtype is not None or len(cell) else ''
-                # huge trailing repeat runs pad empty cells to 16k columns;
-                # only materialize repeats that carry a value
-                if repeat > 1 and not val:
-                    repeat = 1 if cells else 0
-                cells.extend([val] * repeat)
-            while cells and cells[-1] == '':  # trailing column-repeat padding
-                cells.pop()
+                if val == '':
+                    pending_empty += repeat
+                else:
+                    if pending_empty:
+                        cells.extend([''] * pending_empty)
+                        pending_empty = 0
+                    cells.extend([val] * repeat)
             rows.append(cells)
         # trim trailing all-empty rows (ODS repeats the last empty row)
         while rows and all(v == '' for v in rows[-1]):
@@ -169,10 +174,18 @@ def rows_to_table(rows: list[list[str]]):
     import pyarrow as pa
     if not rows:
         return pa.table({})
-    header = [str(h) for h in rows[0]]
-    width = len(header)
-    cols: dict[str, list] = {h: [] for h in header}
-    for r in rows[1:]:
-        for i, h in enumerate(header):
-            cols[h].append(r[i] if i < len(r) else '')
+    # pandas read_excel mangles duplicate headers to 'Name.1', 'Name.2', ...
+    header: list[str] = []
+    seen: set = set()
+    for h in rows[0]:
+        h = str(h)
+        if h in seen:
+            n = 1
+            while f'{h}.{n}' in seen:
+                n += 1
+            h = f'{h}.{n}'
+        seen.add(h)
+        header.append(h)
+    cols = {h: [r[i] if i < len(r) else '' for r in rows[1:]]
+            for i, h in enumerate(header)}
     return pa.table({h: pa.array(v, pa.string()) for h, v in cols.items()})
