@@ -607,13 +607,17 @@ def materialize_set(config, python_source=None) -> set[str]:
     return triples
 
 
-def materialize_to_dir(config, out_dir: str, python_source=None, resume: bool = True) -> dict:
+def materialize_to_dir(config, out_dir: str, python_source=None, resume: bool = True,
+                       filesystem=None) -> dict:
     """Materialize to a resumable partitioned N-Triples/N-Quads layout.
 
     One subdirectory per mapping partition plus a manifest; on resume,
-    partitions with a committed manifest are skipped (idempotent re-runs)."""
+    partitions with a committed manifest are skipped (idempotent re-runs).
+    ``out_dir`` may be a local path or a filesystem URI (``file://``,
+    ``s3://``); pass ``filesystem`` for an explicit ``pyarrow.fs.FileSystem``."""
     from ..sinks.writers import write_partitioned_ntriples
     if not isinstance(config, Config):
         config = Config(config)
     parts = _partition_datasets(config, python_source)
-    return write_partitioned_ntriples(parts, out_dir, resume=resume)
+    return write_partitioned_ntriples(parts, out_dir, resume=resume,
+                                      filesystem=filesystem)

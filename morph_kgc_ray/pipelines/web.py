@@ -244,21 +244,26 @@ def web_kg_triples(pages: ray.data.Dataset, gazetteer: dict[str, str] | None = N
 
 
 def write_web_kg(pages: ray.data.Dataset, out_dir: str, resume: bool = True,
-                 **kwargs) -> dict:
+                 filesystem=None, **kwargs) -> dict:
     """Materialize to the resumable partitioned layout: rows carry their
     mapping-partition label and each TASK writes its own block's shards into
     ``part=<p>/shard_<uuid>.nt`` (no triple payload ever reaches the driver);
-    the manifest is committed after with an atomic rename, so a failed run
-    resumes idempotently."""
-    from ..sinks.writers import write_partition_column_ntriples
+    the manifest commit is an atomic rename on local disk and a marker-object
+    PUT on object stores, so a failed run resumes idempotently.  ``out_dir``
+    may be a local path or a filesystem URI (``file://``, ``s3://``); pass
+    ``filesystem`` to supply an explicit ``pyarrow.fs.FileSystem``."""
+    from ..sinks.writers import (
+        _exists,
+        _read_json,
+        resolve_filesystem,
+        write_partition_column_ntriples,
+    )
 
-    import json
-    import os
+    import posixpath
 
-    os.makedirs(out_dir, exist_ok=True)
-    manifest_path = os.path.join(out_dir, '_MANIFEST.json')
-    if resume and os.path.exists(manifest_path):
-        with open(manifest_path, encoding='utf-8') as f:
-            return json.load(f)
+    f, root = resolve_filesystem(out_dir, filesystem)
+    if resume and _exists(f, posixpath.join(root, '_MANIFEST.json')):
+        return _read_json(f, posixpath.join(root, '_MANIFEST.json'))
     triples = web_kg_triples(pages, **kwargs)
-    return write_partition_column_ntriples(triples, out_dir, resume=resume)
+    return write_partition_column_ntriples(triples, root, resume=resume,
+                                           filesystem=f)

@@ -1,4 +1,6 @@
-"""Resumable partitioned N-Triples / N-Quads sink — task-side shard writes.
+"""Resumable partitioned N-Triples / N-Quads sink — task-side shard writes
+over any ``pyarrow.fs.FileSystem`` (local disk, S3/GCS, or a caller-supplied
+filesystem such as ``SubTreeFileSystem``).
 
 Layout (designed for idempotent re-execution at cluster scale):
 
@@ -11,42 +13,115 @@ Every shard file is written inside the ``map_batches`` task that owns the
 block — the driver never sees triple payloads, only the tiny per-shard count
 rows returned by the writer stage (partition, shard, rows).  A partition
 directory missing its manifest is considered incomplete and is re-executed
-from scratch on resume (writes go to a temp dir first, then an atomic
-rename).  This is the Ray-scale replacement for the reference's
-append-with-fsync per-group files (utils.py:285-297, config.py:282-297).
+from scratch on resume.  This is the Ray-scale replacement for the
+reference's append-with-fsync per-group files (utils.py:285-297,
+config.py:282-297).
 
-Task-retry idempotence: a Ray task that fails AFTER writing its shard (or a
-block recomputed by lineage reconstruction) leaves an orphan file in the tmp
-dir whose count row never reached the driver.  The manifest therefore
+Commit protocol, per filesystem capability:
+
+- **Local filesystems** (plain paths, ``file://`` URIs): shards go to a
+  ``<dir>.tmp`` staging directory; the commit is a POSIX-atomic directory
+  rename (``pyarrow.fs.LocalFileSystem.move`` == ``rename(2)``), so readers
+  never observe a partial partition directory.
+- **Object stores / remote filesystems** (``s3://`` etc., or any non-local
+  ``FileSystem`` instance): directory rename does not exist, so shards are
+  written to their final prefix and the ``_MANIFEST.json`` PUT is the commit
+  marker — single-object writes are atomic on every real object store.
+  Readers (and resume) treat a prefix without a manifest as incomplete.
+
+Task-retry idempotence (both protocols): a Ray task that fails AFTER writing
+its shard (or a block recomputed by lineage reconstruction) leaves an orphan
+file whose count row never reached the driver.  The manifest therefore
 records every committed shard NAME, and the commit step PRUNES any ``*.nt``
-file not in that list before the atomic rename — consumers globbing
-``part=*/*.nt`` see exactly the manifest's shards, never duplicates.
+file not in that list before committing — consumers globbing
+``part=*/*.nt`` after commit see exactly the manifest's shards, never
+duplicates.
 
-On a multi-node cluster ``out_dir`` is shared storage (NFS / fuse-mounted
-object store); the shard-per-block + rename-on-commit protocol is the same.
+``FileSystem`` instances are picklable, so the writer callables ship to Ray
+workers with the filesystem inside them; on a multi-node cluster every task
+writes straight to the shared store with no driver funnel.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
+import posixpath
 import uuid
 
 import pyarrow as pa
 import pyarrow.compute as pc
+from pyarrow import fs as pafs
+
+
+# --------------------------------------------------------------------------
+# filesystem resolution + small fs helpers
+# --------------------------------------------------------------------------
+
+def resolve_filesystem(uri: str, filesystem: 'pafs.FileSystem | None' = None):
+    """(filesystem, path) for an output location.  ``uri`` may be a plain
+    local path, a ``file://``/``s3://``-style URI, or any path when an
+    explicit ``filesystem`` is given."""
+    if filesystem is not None:
+        return filesystem, uri.rstrip('/')
+    if isinstance(uri, str) and '://' in uri:
+        f, path = pafs.FileSystem.from_uri(uri)
+        return f, path.rstrip('/')
+    return pafs.LocalFileSystem(), os.path.abspath(uri)
+
+
+def _atomic_rename(f: pafs.FileSystem) -> bool:
+    """True when the filesystem supports atomic directory rename (local
+    disk); object stores and wrapped filesystems use manifest-commit."""
+    return isinstance(f, pafs.LocalFileSystem)
+
+
+def _exists(f: pafs.FileSystem, path: str) -> bool:
+    return f.get_file_info(path).type != pafs.FileType.NotFound
+
+
+def _delete_dir(f: pafs.FileSystem, path: str) -> None:
+    if _exists(f, path):
+        f.delete_dir(path)
+
+
+def _list_names(f: pafs.FileSystem, dir_path: str) -> list:
+    """Base names of regular files directly under ``dir_path``."""
+    sel = pafs.FileSelector(dir_path, recursive=False, allow_not_found=True)
+    return [posixpath.basename(info.path) for info in f.get_file_info(sel)
+            if info.type == pafs.FileType.File]
+
+
+def _read_json(f: pafs.FileSystem, path: str) -> dict:
+    with f.open_input_stream(path) as stream:
+        return json.loads(stream.read().decode('utf-8'))
+
+
+def _write_json(f: pafs.FileSystem, path: str, obj) -> None:
+    """Manifest write.  On local filesystems go through a temp file + rename
+    so a crash mid-write can never leave a truncated manifest that resume
+    would misread as a completed partition; object-store PUTs are atomic."""
+    data = json.dumps(obj).encode('utf-8')
+    if _atomic_rename(f):
+        tmp = f'{path}.inprogress'
+        with f.open_output_stream(tmp) as stream:
+            stream.write(data)
+        f.move(tmp, path)
+    else:
+        with f.open_output_stream(path) as stream:
+            stream.write(data)
+
+
+def _prune_unlisted(f: pafs.FileSystem, dir_path: str, committed: set) -> None:
+    """Delete ``*.nt`` files not in the committed-shard set (orphans from
+    retried/re-executed tasks whose count rows never reached the driver)."""
+    for name in _list_names(f, dir_path):
+        if name.endswith('.nt') and name not in committed:
+            f.delete_file(posixpath.join(dir_path, name))
 
 
 def _sanitize(partition_id: str) -> str:
     return ''.join(c if (c.isalnum() or c in '-_.') else '_' for c in str(partition_id))
-
-
-def _prune_unlisted(dir_path: str, committed: set) -> None:
-    """Delete ``*.nt`` files not in the committed-shard set (orphans from
-    retried/re-executed tasks whose count rows never reached the driver)."""
-    for name in os.listdir(dir_path):
-        if name.endswith('.nt') and name not in committed:
-            os.unlink(os.path.join(dir_path, name))
 
 
 def _join_lines(arr: pa.Array) -> bytes:
@@ -71,9 +146,14 @@ _COUNT_SCHEMA = pa.schema([('partition', pa.string()), ('shard', pa.string()),
 
 class _TripleShardWriter:
     """map_batches writer for single-partition triple datasets: writes one
-    ``shard_<uuid>.nt`` per block into ``tmp_dir`` and returns a count row."""
+    ``shard_<uuid>.nt`` per block into ``tmp_dir`` (the staging dir on local
+    filesystems, the final prefix on object stores) and returns a count row.
+    ``fs`` pickles with the callable, so every Ray task writes directly to
+    the target filesystem."""
 
-    def __init__(self, tmp_dir: str, partition: str, column: str = 'triple'):
+    def __init__(self, fs: pafs.FileSystem, tmp_dir: str, partition: str,
+                 column: str = 'triple'):
+        self.fs = fs
         self.tmp_dir = tmp_dir
         self.partition = partition
         self.column = column
@@ -82,8 +162,8 @@ class _TripleShardWriter:
         if t.num_rows == 0:
             return _COUNT_SCHEMA.empty_table()
         name = f'shard_{uuid.uuid4().hex[:12]}.nt'
-        os.makedirs(self.tmp_dir, exist_ok=True)
-        with open(os.path.join(self.tmp_dir, name), 'wb') as f:
+        self.fs.create_dir(self.tmp_dir, recursive=True)
+        with self.fs.open_output_stream(posixpath.join(self.tmp_dir, name)) as f:
             f.write(_join_lines(t[self.column]))
         return pa.table({'partition': pa.array([self.partition], pa.string()),
                          'shard': pa.array([name], pa.string()),
@@ -95,7 +175,9 @@ class _PartitionedShardWriter:
     (subject, predicate, object[, graph]): splits the block by partition and
     writes one shard per (block, partition) into ``tmp_dir/part=<p>/``."""
 
-    def __init__(self, tmp_dir: str, partition_col: str = 'partition'):
+    def __init__(self, fs: pafs.FileSystem, tmp_dir: str,
+                 partition_col: str = 'partition'):
+        self.fs = fs
         self.tmp_dir = tmp_dir
         self.partition_col = partition_col
 
@@ -111,10 +193,10 @@ class _PartitionedShardWriter:
         out_part, out_shard, out_rows = [], [], []
         for part in pc.unique(parts.combine_chunks()).to_pylist():
             sel = lines.filter(pc.equal(parts, part).combine_chunks())
-            pdir = os.path.join(self.tmp_dir, f'part={_sanitize(part)}')
-            os.makedirs(pdir, exist_ok=True)
+            pdir = posixpath.join(self.tmp_dir, f'part={_sanitize(part)}')
+            self.fs.create_dir(pdir, recursive=True)
             name = f'shard_{uuid.uuid4().hex[:12]}.nt'
-            with open(os.path.join(pdir, name), 'wb') as f:
+            with self.fs.open_output_stream(posixpath.join(pdir, name)) as f:
                 f.write(_join_lines(sel))
             out_part.append(part)
             out_shard.append(name)
@@ -124,73 +206,94 @@ class _PartitionedShardWriter:
                          'rows': pa.array(out_rows, pa.int64())})
 
 
-def write_partitioned_ntriples(partitions: dict, out_dir: str, resume: bool = True) -> dict:
+def write_partitioned_ntriples(partitions: dict, out_dir: str, resume: bool = True,
+                               filesystem: 'pafs.FileSystem | None' = None) -> dict:
     """Write each mapping-partition Dataset as ``<triple> .`` lines, one shard
     file per block, written inside the tasks that hold the blocks.
 
+    ``out_dir`` may be a local path or a filesystem URI; pass ``filesystem``
+    to supply an explicit ``pyarrow.fs.FileSystem`` for plain paths.
+
     Returns {partition_id: {'rows': n, 'skipped': bool}}."""
-    os.makedirs(out_dir, exist_ok=True)
+    f, root = resolve_filesystem(out_dir, filesystem)
+    f.create_dir(root, recursive=True)
+    atomic = _atomic_rename(f)
     report = {}
     for pid, ds in partitions.items():
-        pdir = os.path.join(out_dir, f'part={_sanitize(pid)}')
-        manifest_path = os.path.join(pdir, '_MANIFEST.json')
-        if resume and os.path.exists(manifest_path):
-            with open(manifest_path, encoding='utf-8') as f:
-                manifest = json.load(f)
+        pdir = posixpath.join(root, f'part={_sanitize(pid)}')
+        manifest_path = posixpath.join(pdir, '_MANIFEST.json')
+        if resume and _exists(f, manifest_path):
+            manifest = _read_json(f, manifest_path)
             report[pid] = {'rows': manifest['rows'], 'skipped': True}
             continue
-        tmp_dir = pdir + '.tmp'
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        shutil.rmtree(pdir, ignore_errors=True)
-        os.makedirs(tmp_dir)
+        if atomic:
+            stage = pdir + '.tmp'
+            _delete_dir(f, stage)
+            _delete_dir(f, pdir)
+        else:
+            # object store: no rename — stage IS the final prefix; clear any
+            # incomplete previous attempt (no manifest == incomplete)
+            stage = pdir
+            _delete_dir(f, pdir)
+        f.create_dir(stage, recursive=True)
 
         # task-side writes; only (partition, shard, rows) rows reach the driver
-        counts = ds.map_batches(_TripleShardWriter(tmp_dir, pid),
+        counts = ds.map_batches(_TripleShardWriter(f, stage, pid),
                                 batch_format='pyarrow').take_all()
         rows = sum(r['rows'] for r in counts)
         shards = sorted(r['shard'] for r in counts)
-        os.makedirs(tmp_dir, exist_ok=True)  # 0-block datasets never created it
-        _prune_unlisted(tmp_dir, set(shards))
-        with open(os.path.join(tmp_dir, '_MANIFEST.json'), 'w', encoding='utf-8') as f:
-            json.dump({'partition': pid, 'rows': rows, 'shards': shards}, f)
-        os.replace(tmp_dir, pdir)
+        f.create_dir(stage, recursive=True)  # 0-block datasets never created it
+        _prune_unlisted(f, stage, set(shards))
+        _write_json(f, posixpath.join(stage, '_MANIFEST.json'),
+                    {'partition': pid, 'rows': rows, 'shards': shards})
+        if atomic:
+            f.move(stage, pdir)
         report[pid] = {'rows': rows, 'skipped': False}
     return report
 
 
 def write_partition_column_ntriples(triples, out_dir: str, resume: bool = True,
-                                    partition_col: str = 'partition') -> dict:
+                                    partition_col: str = 'partition',
+                                    filesystem: 'pafs.FileSystem | None' = None) -> dict:
     """Sink for a (partition, subject, predicate, object[, graph]) Dataset:
     each task splits its block by partition label and writes
     ``part=<p>/shard_<uuid>.nt`` files directly; the driver aggregates only
-    the tiny count rows and commits the manifest (atomic rename)."""
-    manifest_path = os.path.join(out_dir, '_MANIFEST.json')
-    if resume and os.path.exists(manifest_path):
-        with open(manifest_path, encoding='utf-8') as f:
-            return json.load(f)
+    the tiny count rows and commits the manifest (atomic rename on local
+    disk, manifest-PUT commit marker on object stores)."""
+    f, root = resolve_filesystem(out_dir, filesystem)
+    manifest_path = posixpath.join(root, '_MANIFEST.json')
+    if resume and _exists(f, manifest_path):
+        return _read_json(f, manifest_path)
 
-    tmp = out_dir + '.tmp'
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp)
+    atomic = _atomic_rename(f)
+    if atomic:
+        stage = root + '.tmp'
+        _delete_dir(f, stage)
+    else:
+        stage = root
+        _delete_dir(f, root)
+    f.create_dir(stage, recursive=True)
     counts: dict[str, int] = {}
     shards: dict[str, list] = {}
-    for r in triples.map_batches(_PartitionedShardWriter(tmp, partition_col),
+    for r in triples.map_batches(_PartitionedShardWriter(f, stage, partition_col),
                                  batch_format='pyarrow').take_all():
         counts[r['partition']] = counts.get(r['partition'], 0) + r['rows']
         shards.setdefault(r['partition'], []).append(r['shard'])
     committed_by_dir = {f'part={_sanitize(p)}': set(v) for p, v in shards.items()}
-    for entry in os.listdir(tmp):
-        if entry.startswith('part=') and os.path.isdir(os.path.join(tmp, entry)):
+    sel = pafs.FileSelector(stage, recursive=False, allow_not_found=True)
+    for info in f.get_file_info(sel):
+        entry = posixpath.basename(info.path)
+        if entry.startswith('part=') and info.type == pafs.FileType.Directory:
             committed = committed_by_dir.get(entry, set())
-            _prune_unlisted(os.path.join(tmp, entry), committed)
+            _prune_unlisted(f, posixpath.join(stage, entry), committed)
             if not committed:  # directory holds only orphans: drop it
-                shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
+                _delete_dir(f, posixpath.join(stage, entry))
     for names in shards.values():
         names.sort()
     report = {'partitions': counts, 'total': sum(counts.values()),
               'shards': shards}
-    with open(os.path.join(tmp, '_MANIFEST.json'), 'w', encoding='utf-8') as f:
-        json.dump(report, f)
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.replace(tmp, out_dir)
+    _write_json(f, posixpath.join(stage, '_MANIFEST.json'), report)
+    if atomic:
+        _delete_dir(f, root)
+        f.move(stage, root)
     return report

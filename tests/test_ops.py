@@ -238,6 +238,75 @@ def test_engine_sink_partial_resume_reexecutes_missing_partition(ray_session, tm
     assert os.path.exists(os.path.join(out, victim, '_MANIFEST.json'))
 
 
+def test_sink_file_uri_and_subtree_filesystem(ray_session, tmp_path):
+    """The sinks must work through pyarrow.fs: a ``file://`` URI takes the
+    local rename-commit path; a SubTreeFileSystem (stand-in for an object
+    store: no directory rename) takes the manifest-marker commit path.  Both
+    must produce identical content and resume idempotently."""
+    import os
+    from pyarrow import fs as pafs
+    import ray.data as rd
+    from morph_kgc_ray.sinks import writers
+
+    def mk_triples():
+        return rd.from_items([
+            {'partition': 'p1', 'subject': '<s1>', 'predicate': '<p>', 'object': '<o1>'},
+            {'partition': 'p2', 'subject': '<s2>', 'predicate': '<p>', 'object': '<o2>'}])
+
+    # file:// URI → rename-commit
+    uri = f'file://{tmp_path}/kg_uri'
+    rep = writers.write_partition_column_ntriples(mk_triples(), uri, resume=False)
+    assert rep['total'] == 2 and set(rep['partitions']) == {'p1', 'p2'}
+    assert os.path.exists(f'{tmp_path}/kg_uri/_MANIFEST.json')
+    assert not os.path.exists(f'{tmp_path}/kg_uri.tmp')
+    rep2 = writers.write_partition_column_ntriples(mk_triples(), uri, resume=True)
+    assert rep2 == rep  # manifest resume, no rewrite
+
+    # SubTreeFileSystem → marker-object commit (no .tmp staging dir ever)
+    os.makedirs(f'{tmp_path}/bucket')
+    sub = pafs.SubTreeFileSystem(f'{tmp_path}/bucket', pafs.LocalFileSystem())
+    rep3 = writers.write_partition_column_ntriples(mk_triples(), 'kg', resume=False,
+                                                   filesystem=sub)
+    assert rep3['total'] == 2
+    assert os.path.exists(f'{tmp_path}/bucket/kg/_MANIFEST.json')
+    assert not os.path.exists(f'{tmp_path}/bucket/kg.tmp')
+    rep4 = writers.write_partition_column_ntriples(mk_triples(), 'kg', resume=True,
+                                                   filesystem=sub)
+    assert rep4 == rep3
+
+    # identical payload through both protocols
+    def read_all(base):
+        lines = []
+        for root, _, files in os.walk(base):
+            for fn in files:
+                if fn.endswith('.nt'):
+                    lines += open(os.path.join(root, fn)).read().splitlines()
+        return sorted(l for l in lines if l.strip())
+    assert read_all(f'{tmp_path}/kg_uri') == read_all(f'{tmp_path}/bucket/kg')
+
+
+def test_engine_sink_subtree_filesystem_resume(ray_session, tmp_path):
+    """materialize_to_dir over a non-rename filesystem: manifest-marker
+    commit per partition, resume skips, deleting one partition's manifest
+    re-executes only that partition."""
+    import os
+    from pyarrow import fs as pafs
+    from morph_kgc_ray import Config, materialize_to_dir
+    cfg = Config({'DS': {'mappings': '/root/reference/test/rml-core/csv/RMLTC0009a/mapping.ttl'},
+                  'source_base_dir': '/root/reference', 'output_format': 'N-TRIPLES'})
+    os.makedirs(f'{tmp_path}/bucket')
+    sub = pafs.SubTreeFileSystem(f'{tmp_path}/bucket', pafs.LocalFileSystem())
+    rep = materialize_to_dir(cfg, 'out', resume=False, filesystem=sub)
+    assert sum(v['rows'] for v in rep.values()) == 4
+    assert not any(d.endswith('.tmp') for d in os.listdir(f'{tmp_path}/bucket/out'))
+    rep2 = materialize_to_dir(cfg, 'out', resume=True, filesystem=sub)
+    assert all(v['skipped'] for v in rep2.values())
+    victim = sorted(os.listdir(f'{tmp_path}/bucket/out'))[0]
+    os.unlink(f'{tmp_path}/bucket/out/{victim}/_MANIFEST.json')
+    rep3 = materialize_to_dir(cfg, 'out', resume=True, filesystem=sub)
+    assert sum(0 if v['skipped'] else 1 for v in rep3.values()) == 1
+
+
 def test_shingle_jaccard_matches_set_semantics():
     from morph_kgc_ray.ops.dedup import shingle_jaccard
     a = 'w1 w2 w3 w4 w5 w6'
