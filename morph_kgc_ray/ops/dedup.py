@@ -59,50 +59,147 @@ def exact_dedup(ds: ray.data.Dataset, key_cols: list[str], id_col: str,
 
 _M61 = (1 << 61) - 1
 
+# FNV-1a 64-bit constants (token hashing) + the odd rolling base shared with
+# ops/text.py's winnowing fingerprint (odd => invertible mod 2^64)
+_FNV_OFFSET = np.uint64(0xcbf29ce484222325)
+_FNV_PRIME = np.uint64(0x100000001b3)
+_ROLL_B = np.uint64(1000003)
+_ROLL_B_INV = np.uint64(pow(1000003, -1, 1 << 64))
 
-def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """64-bit hashes of the k-word shingles of a document."""
-    words = text.split()
-    if len(words) < k:
-        shingles = [' '.join(words)] if words else []
-    else:
-        shingles = [' '.join(words[i:i + k]) for i in range(len(words) - k + 1)]
-    if not shingles:
-        return np.zeros(1, dtype=np.uint64)
-    # cheap stable string hash (FNV-1a via numpy bytes would need loops; use
-    # python hash of bytes via int.from_bytes of blake2b-8 for stability)
-    import hashlib
-    out = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), 'little') for s in shingles),
-        dtype=np.uint64, count=len(shingles))
+
+def _hash_tokens(arr: 'pa.Array') -> np.ndarray:
+    """Vectorized FNV-1a 64-bit over a flat Arrow string array: one numpy
+    pass per BYTE POSITION (tokens are short) instead of a Python call per
+    token — this is the bulk-compute kernel of MinHash at scale."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if not pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.large_string())
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int64)[arr.offset:arr.offset + n + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    lengths = np.diff(off)
+    # sort by length DESC once so the tokens still alive at byte position j
+    # are a contiguous prefix — each pass is pure slicing, no boolean scan
+    order = np.argsort(-lengths, kind='stable')
+    starts = off[:-1][order]
+    slen = lengths[order]
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    neg = -slen  # ascending; count of slen > j == searchsorted(neg, -j)
+    for j in range(int(slen[0]) if n else 0):
+        cnt = int(np.searchsorted(neg, -j))
+        b = data[starts[:cnt] + j].astype(np.uint64)
+        h[:cnt] = (h[:cnt] ^ b) * _FNV_PRIME
+    out = np.empty(n, dtype=np.uint64)
+    out[order] = h
     return out
 
 
+def _window_hashes(token_hashes: np.ndarray, counts: np.ndarray, k: int):
+    """Flat k-gram window hashes over per-token hashes, documents delimited
+    by ``counts`` (tokens per doc).  Rolling-polynomial combine via the
+    modular-inverse prefix trick (same identity as ops/text.py's
+    rolling_hash_fingerprint): window [s, e) hashes to
+    ``(S[e] - S[s]) * B^(e-1) mod 2^64`` where ``S`` is the cumulative sum of
+    ``th[i] * B^-i`` — every step a whole-array numpy op, no per-doc loop.
+
+    Docs with 0 < m < k tokens contribute one whole-doc window; empty docs
+    contribute one 0 hash (the zero-length window's sum is 0).  Returns
+    (window_hashes, windows_per_doc) with windows_per_doc >= 1 everywhere."""
+    m = counts.astype(np.int64)
+    n_tok = len(token_hashes)
+    wcounts = np.where(m >= k, m - k + 1, 1)
+    widths = np.minimum(m, k)  # per-doc window width (0 for empty docs)
+    total = int(wcounts.sum())
+    doc_of_window = np.repeat(np.arange(len(m)), wcounts)
+    tok_offsets = np.concatenate(([0], np.cumsum(m)))
+    win_offsets = np.concatenate(([0], np.cumsum(wcounts)))
+    within = np.arange(total) - np.repeat(win_offsets[:-1], wcounts)
+    starts = np.repeat(tok_offsets[:-1], wcounts) + within
+    ends = starts + widths[doc_of_window]
+
+    # pows[i] = B^i, ipows[i] = B^-i (mod 2^64; uint64 arithmetic wraps)
+    base = np.full(n_tok + 1, _ROLL_B, dtype=np.uint64)
+    base[0] = 1
+    pows = np.multiply.accumulate(base)
+    base[:] = _ROLL_B_INV
+    base[0] = 1
+    ipows = np.multiply.accumulate(base)
+    S = np.zeros(n_tok + 1, dtype=np.uint64)
+    if n_tok:
+        np.cumsum(token_hashes * ipows[:n_tok], out=S[1:])
+    # ends == starts (empty doc) gives S diff 0 -> hash 0 regardless of pow
+    wh = (S[ends] - S[starts]) * pows[np.maximum(ends, 1) - 1]
+    return wh, wcounts
+
+
 class MinHashKernel:
-    """Per-batch MinHash signatures.  The permutation coefficients are drawn
-    ONCE per actor in __init__ from a fixed seed (state amortized across
-    batches — actor-pool pattern)."""
+    """Per-batch MinHash signatures, vectorized end-to-end: Arrow whitespace
+    tokenization -> flat FNV-1a token hashes (one numpy pass per byte
+    position) -> rolling-polynomial k-gram window hashes -> per-permutation
+    ``np.minimum.reduceat`` over doc segments.  The permutation coefficients
+    are drawn ONCE per actor in __init__ from a fixed seed (state amortized
+    across batches — actor-pool pattern)."""
 
     def __init__(self, num_perm: int = 64, k: int = 5, text_col: str = 'text', seed: int = 7):
         rng = np.random.RandomState(seed)
-        # 31-bit coefficients x 32-bit shingle hashes stay inside uint64,
-        # so the (a*h+b) % p permutation is exact and fully vectorized
-        self.a = rng.randint(1, 1 << 31, size=num_perm).astype(np.uint64)
-        self.b = rng.randint(0, 1 << 31, size=num_perm).astype(np.uint64)
+        # multiplication by an ODD constant is a bijection mod 2^64, so
+        # v = (a*h + b) with wrap-around is a true 64-bit permutation — no
+        # modulo needed (the classic (a*h+b) % prime costs ~2x per element)
+        self.a = ((rng.randint(0, 1 << 31, size=num_perm).astype(np.uint64) << np.uint64(32))
+                  | (rng.randint(0, 1 << 31, size=num_perm).astype(np.uint64) << np.uint64(1))
+                  | np.uint64(1))
+        self.b = ((rng.randint(0, 1 << 31, size=num_perm).astype(np.uint64) << np.uint64(32))
+                  | rng.randint(0, 1 << 31, size=num_perm).astype(np.uint64))
         self.num_perm = num_perm
         self.k = k
         self.text_col = text_col
 
+    def shingle_hashes(self, texts: 'pa.Array') -> 'tuple[np.ndarray, np.ndarray]':
+        """(flat 32-bit-masked window hashes, windows per doc)."""
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, '')
+        d = len(texts)
+        tokens = pc.utf8_split_whitespace(texts)
+        flat = pc.list_flatten(tokens)
+        tok_counts = pc.list_value_length(tokens).to_numpy(zero_copy_only=False).astype(np.int64)
+        # Arrow's split emits boundary empty strings (leading/trailing
+        # whitespace); python str.split() drops them
+        keep = pc.greater(pc.binary_length(flat), 0)
+        if not pc.all(keep).as_py():
+            doc_ids = np.repeat(np.arange(d), tok_counts)
+            mask = keep.to_numpy(zero_copy_only=False)
+            flat = flat.filter(keep)
+            tok_counts = np.bincount(doc_ids[mask], minlength=d)
+        th = _hash_tokens(flat)
+        return _window_hashes(th, tok_counts, self.k)
+
     def signature(self, text: str) -> np.ndarray:
-        h = _shingle_hashes(text, self.k) & np.uint64(0xFFFFFFFF)
-        vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % np.uint64(_M61)
+        wh, _ = self.shingle_hashes(pa.array([text], pa.large_string()))
+        vals = self.a[:, None] * wh[None, :] + self.b[:, None]  # wraps mod 2^64
         return vals.min(axis=1)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t[self.text_col].to_pylist()
-        sigs = np.vstack([self.signature(x or '') for x in texts]) if texts else \
-            np.zeros((0, self.num_perm), dtype=np.uint64)
-        return t.append_column('minhash', pa.array(list(sigs), pa.list_(pa.uint64())))
+        d = t.num_rows
+        if d == 0:
+            return t.append_column(
+                'minhash', pa.FixedSizeListArray.from_arrays(
+                    pa.array([], pa.uint64()), self.num_perm))
+        wh, wcounts = self.shingle_hashes(t[self.text_col])
+        seg = np.concatenate(([0], np.cumsum(wcounts)[:-1]))
+        sig = np.empty((self.num_perm, d), dtype=np.uint64)
+        buf = np.empty_like(wh)
+        for p in range(self.num_perm):
+            np.multiply(wh, self.a[p], out=buf)  # wraps mod 2^64: a is odd
+            np.add(buf, self.b[p], out=buf)
+            sig[p] = np.minimum.reduceat(buf, seg)
+        col = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.ascontiguousarray(sig.T).ravel(), pa.uint64()), self.num_perm)
+        return t.append_column('minhash', col)
 
 
 def minhash_signatures(ds: ray.data.Dataset, num_perm: int = 64, k: int = 5,
@@ -142,7 +239,12 @@ def minhash_lsh_candidates(ds: ray.data.Dataset, id_col: str = 'doc_id', num_per
 
     def explode_bands(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        sigs = np.array(t['minhash'].to_pylist(), dtype=np.uint64)
+        mh = t['minhash']
+        if isinstance(mh, pa.ChunkedArray):
+            mh = mh.combine_chunks()
+        sigs = pc.list_flatten(mh).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64, copy=False).reshape(len(ids), -1) if len(ids) else \
+            np.zeros((0, num_perm), dtype=np.uint64)
         if len(ids) == 0:
             return pa.table({'band': pa.array([], pa.int32()),
                              'band_hash': pa.array([], pa.uint64()),
