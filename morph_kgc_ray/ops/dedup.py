@@ -21,6 +21,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..engine.dedup import distinct  # noqa: F401  (re-exported)
+from .similarity import vectors_to_ndarray
 
 # --------------------------------------------------------------------------
 # exact dedup
@@ -524,6 +525,24 @@ def _vec_normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _unpack_f32(col) -> np.ndarray:
+    """(n, d) float32 matrix from a large_binary column of packed-float32
+    blobs (the acero-join vector transport): one buffer slice + view instead
+    of a per-row ``np.frombuffer`` loop."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 1), np.float32)
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], np.int64)[arr.offset:arr.offset + n + 1]
+    data = np.frombuffer(bufs[2], np.uint8)
+    widths = np.diff(off)
+    if not (widths == widths[0]).all():
+        raise ValueError('packed vectors have differing byte widths')
+    # offsets are contiguous for join-materialized arrays; copy() realigns
+    return data[off[0]:off[-1]].copy().view(np.float32).reshape(n, -1)
+
+
 def embedding_neardup_pairs(ds: ray.data.Dataset, id_col: str = 'vec_id',
                             vec_col: str = 'embedding', threshold: float = 0.9,
                             corpus_cap: int = 2_000_000) -> ray.data.Dataset:
@@ -550,7 +569,7 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, id_col: str = 'vec_id',
                 'the broadcast exact matrix would not fit the driver/object store. '
                 'Use embedding_neardup_clusters (sign-LSH scale path) instead.')
         id_chunks.append(batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
-        vec_chunks.append(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
+        vec_chunks.append(vectors_to_ndarray(batch[vec_col], np.float64))
     ids = np.concatenate(id_chunks) if id_chunks else np.zeros(0, np.int64)
     V = _vec_normalize(np.concatenate(vec_chunks)
                        if vec_chunks else np.zeros((0, 1), np.float64))
@@ -562,7 +581,7 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, id_col: str = 'vec_id',
         if len(bids) == 0:
             e = pa.array([], pa.int64())
             return pa.table({'id_a': e, 'id_b': e, 'cosine': pa.array([], pa.float64())})
-        BV = _vec_normalize(np.asarray(t[vec_col].to_pylist(), dtype=np.float64))
+        BV = _vec_normalize(vectors_to_ndarray(t[vec_col], np.float64))
         sims = BV @ allV.T                              # (b, n)
         bi, ni = np.nonzero(sims >= threshold)
         a = bids[bi]
@@ -595,7 +614,7 @@ class _SignLSHKernel:
             return pa.table({'band': pa.array([], pa.int32()),
                              'band_hash': pa.array([], pa.uint64()),
                              self.id_col: pa.array([], pa.int64())})
-        V = np.asarray(t[self.vec_col].to_pylist(), dtype=np.float64)
+        V = vectors_to_ndarray(t[self.vec_col], np.float64)
         bits = (V @ self.H.T) > 0                        # (n, H)
         out_band, out_hash, out_id = [], [], []
         for b in range(self.bands):
@@ -641,7 +660,7 @@ def embedding_neardup_clusters(ds: ray.data.Dataset, id_col: str = 'vec_id',
             if t.num_rows == 0:
                 return pa.table({out_id: pa.array([], pa.int64()),
                                  out_vec: pa.array([], pa.large_binary())})
-            V = np.asarray(t[vec_col].to_pylist(), dtype=np.float32)
+            V = vectors_to_ndarray(t[vec_col], np.float32)
             blobs = pa.array([v.tobytes() for v in V], pa.large_binary())
             return pa.table({out_id: t[id_col], out_vec: blobs})
         return fn
@@ -663,10 +682,8 @@ def embedding_neardup_clusters(ds: ray.data.Dataset, id_col: str = 'vec_id',
         if t.num_rows == 0:
             e = pa.array([], pa.int64())
             return pa.table({'id_a': e, 'id_b': e})
-        A = _vec_normalize(np.asarray([np.frombuffer(b, dtype=np.float32)
-                                       for b in t['__v_a'].to_pylist()], dtype=np.float64))
-        B = _vec_normalize(np.asarray([np.frombuffer(b, dtype=np.float32)
-                                       for b in t['__v_b'].to_pylist()], dtype=np.float64))
+        A = _vec_normalize(_unpack_f32(t['__v_a']).astype(np.float64))
+        B = _vec_normalize(_unpack_f32(t['__v_b']).astype(np.float64))
         sims = (A * B).sum(axis=1)
         t = t.drop_columns(['__v_a', '__v_b'])
         return t.filter(pa.array(sims >= threshold))
