@@ -64,7 +64,16 @@ class TripleEmitKernel:
     """
 
     def __init__(self, gazetteer_ref=None, emit_text_literal: bool = False):
-        gaz = ray.get(gazetteer_ref) if gazetteer_ref is not None else default_gazetteer()
+        # accepts the gazetteer as a plain dict (actor pools: restart-safe —
+        # an ObjectRef constructor arg breaks actor restart if the ref is
+        # lost, ray#53727), an ObjectRef (task form: broadcast via ray.put,
+        # fetched once per worker process), or None (default table)
+        if gazetteer_ref is None:
+            gaz = default_gazetteer()
+        elif isinstance(gazetteer_ref, dict):
+            gaz = gazetteer_ref
+        else:
+            gaz = ray.get(gazetteer_ref)
         # one alternation pattern PER CANONICAL ENTITY, matched with Arrow's
         # re2 kernel over the whole text column — ~5x faster than a single
         # giant Python alternation scanned row by row, and alias->IRI
@@ -223,15 +232,28 @@ def web_kg_triples(pages: ray.data.Dataset, gazetteer: dict[str, str] | None = N
     ``emit_text_literal=True``).  Measured on this corpus the two are within
     noise of each other at both 8 and 32 CPUs (duplicate rate is low and
     rows are short)."""
-    gaz_ref = ray.put(gazetteer or default_gazetteer())
+    gaz = gazetteer or default_gazetteer()
     if concurrency is None:
         # task form (default): fuses with the read, no intermediate payload
-        # materialization; per-process kernel cache amortizes setup
+        # materialization; per-process kernel cache amortizes setup.  The
+        # gazetteer broadcasts once via ray.put (fine for tasks).
+        gaz_ref = ray.put(gaz)
         emitted = pages.map_batches(_emit_fn(gaz_ref, emit_text_literal),
                                     batch_format='pyarrow', batch_size=batch_size)
     else:
+        # actor pool: bake the (small) gazetteer into the class itself so the
+        # actor has NO constructor args — Ray Data ray.put()s any
+        # fn_constructor_args, and an object-store ctor arg breaks actor
+        # restart if the ref is lost (ray#53727 core_worker warning); a
+        # closure class travels inside the actor spec instead (restart-safe)
+        _flag = emit_text_literal
+
+        class _BoundEmitKernel(TripleEmitKernel):
+            def __init__(self):
+                super().__init__(gaz, _flag)
+
         emitted = pages.map_batches(
-            TripleEmitKernel, fn_constructor_args=(gaz_ref, emit_text_literal),
+            _BoundEmitKernel,
             batch_format='pyarrow', concurrency=concurrency, batch_size=batch_size)
     cols = ['partition', 'subject', 'predicate', 'object']
     if dedup_strategy == 'in_place':

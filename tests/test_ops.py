@@ -189,6 +189,64 @@ def test_web_pipeline_invariant_and_resume(ray_session, tmp_path):
     assert rep2['total'] == rep['total']  # resumed from manifest, no rewrite
 
 
+def test_web_actor_pool_survives_actor_kill(ray_session):
+    """Kill one emit actor mid-run (SIGKILL on its worker process): Ray Data
+    must restart/retry and the triple set must equal the task-form result
+    exactly.  Possible because the kernel's actor form carries NO
+    user-supplied ObjectRef constructor args (gazetteer baked into a closure
+    class) — the residual ray#53727 core_worker warning comes from Ray
+    Data's own MapWorker internals (reproducible with a no-arg identity
+    kernel) and does not affect restartability."""
+    import os
+    import signal
+    import threading
+    import time
+    import ray
+    import ray.data as rd
+    from morph_kgc_ray.pipelines.pages import pages_parquet_dir
+    from morph_kgc_ray.pipelines.web import web_kg_triples
+
+    d = pages_parquet_dir(600, seed=13, num_files=4)
+
+    def triple_set(concurrency):
+        pages = rd.read_parquet(d, columns=['url', 'warc_ts', 'html', 'lang'])
+        t = web_kg_triples(pages, concurrency=concurrency, batch_size=64).to_pandas()
+        return set(map(tuple, t[['partition', 'subject', 'predicate', 'object']].values))
+
+    expected = triple_set(None)  # task form reference
+
+    killed = {'pid': None}
+
+    def assassin():
+        # GCS actor table works with the dashboard disabled (the
+        # ray.util.state API does not)
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            try:
+                table = ray._private.state.state.actor_table(None)
+            except Exception:
+                time.sleep(0.1)
+                continue
+            for info in table.values():
+                if 'EmitKernel' in (info.get('ActorClassName') or '') \
+                        and info.get('State') != 'DEAD' and info.get('Pid'):
+                    try:
+                        os.kill(info['Pid'], signal.SIGKILL)
+                        killed['pid'] = info['Pid']
+                        return
+                    except ProcessLookupError:
+                        pass
+            time.sleep(0.05)
+
+    th = threading.Thread(target=assassin, daemon=True)
+    th.start()
+    got = triple_set(2)
+    th.join(timeout=35)
+    assert got == expected
+    # the kill must actually have happened for this test to mean anything
+    assert killed['pid'] is not None, 'assassin never found an emit actor'
+
+
 def test_engine_resumable_writer(ray_session, tmp_path):
     from morph_kgc_ray import Config, materialize_to_dir
     cfg = Config({'DS': {'mappings': '/root/reference/test/rml-core/csv/RMLTC0001a/mapping.ttl'},
