@@ -15,6 +15,7 @@ import json
 import os
 import re
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
@@ -296,6 +297,16 @@ def _read_tabular_view(rule, config: Config) -> ray.data.Dataset:
     return ray.data.from_arrow(table)
 
 
+def _from_pandas_typed(df: pd.DataFrame) -> ray.data.Dataset:
+    """from_pandas with a TYPED empty block: empty object-dtype pandas
+    blocks defeat Ray's size estimator and spam 'Error calculating size for
+    column ...' during streaming execution."""
+    if len(df):
+        return ray.data.from_pandas(df)
+    return ray.data.from_arrow(
+        pa.table({c: pa.array([], pa.large_string()) for c in df.columns}))
+
+
 def _read_python_source(rule, references, python_source, strict: bool = False) -> ray.data.Dataset:
     """In-memory dict/DataFrame/list/JSON-string sources (python_data.py:17-66)."""
     name = str(rule['logical_source_value'])[1:-1]  # strip '{' '}'
@@ -318,7 +329,7 @@ def _read_python_source(rule, references, python_source, strict: bool = False) -
         kernel = JsonIteratorKernel(rule['iterator'], references, project_full_reference=True,
                                     strict=strict)
         df = kernel.iterate_object(data)
-    return ray.data.from_pandas(df) if len(df) else ray.data.from_pandas(df.astype(object))
+    return _from_pandas_typed(df)
 
 
 # --------------------------------------------------------------------------
@@ -461,9 +472,9 @@ class JsonIteratorKernel:
             seen |= s
             any_records = any_records or a
         names = sorted(seen) + (['__any_records__'] if any_records else [])
-        return pd.DataFrame({'name': pd.Series(names, dtype=object)})
+        return pa.table({'name': pa.array(names, pa.string())})
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
         import hashlib
         frames = []
         paths = batch['path'] if 'path' in batch.columns else [None] * len(batch['bytes'])
@@ -480,20 +491,25 @@ class JsonIteratorKernel:
                                      'little') & ((1 << 42) - 1)
                 f['__record'] = f['__record'].astype('int64') + (off << 20)
             frames.append(f)
+        # emit a TYPED Arrow table (large_string refs + int64 aux): empty
+        # object-dtype pandas blocks defeat Ray's size estimation and spam
+        # 'Error calculating size for column' during streaming execution
+        aux = ['__record'] if self.with_record_ids else []
+        cols: dict = {}
         if not frames:
-            cols = {r: pd.Series(dtype=object) for r in self.references}
-            if self.with_record_ids:
-                cols['__record'] = pd.Series(dtype='int64')
-            return pd.DataFrame(cols)
-        out = pd.concat(frames, ignore_index=True)
-        aux = [c for c in ('__record',) if c in out.columns]
-        str_part = out[[c for c in out.columns if c not in aux]].astype(str)
-        # keep nulls null (astype(str) would stringify pandas NA to '<NA>')
-        for c in str_part.columns:
-            str_part[c] = str_part[c].where(out[c].notna(), None)
+            out = pd.DataFrame({r: pd.Series(dtype=object) for r in self.references + aux})
+        else:
+            out = pd.concat(frames, ignore_index=True)
+        for c in self.references:
+            vals = out[c] if c in out.columns else pd.Series(dtype=object)
+            # stringify non-null values python-str style, keep nulls null
+            cols[c] = pa.array([None if pd.isna(v) else str(v) for v in vals],
+                               pa.large_string())
         for c in aux:
-            str_part[c] = out[c].astype('int64')
-        return str_part
+            vals = out[c].astype('int64').to_numpy() if c in out.columns and len(out) else \
+                np.zeros(0, dtype=np.int64)
+            cols[c] = pa.array(vals, pa.int64())
+        return pa.table(cols)
 
 
 def _expand_source_paths(path: str) -> 'str | list[str]':
@@ -635,17 +651,20 @@ class XmlIteratorKernel:
                     rows.append(dict(zip(self.references, combo)))
         return rows, seen_refs, any_nodes
 
-    def seen_info(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def seen_info(self, batch: pd.DataFrame) -> pa.Table:
         """Reference-visibility rows for the SOURCE-level strict check (the
         W3C RMLTC0002c semantics must aggregate across all files of a glob,
         not per batch — see ``_validate_strict_refs``)."""
         _, seen, any_nodes = self._process(batch)
         names = sorted(seen) + (['__any_records__'] if any_nodes else [])
-        return pd.DataFrame({'name': pd.Series(names, dtype=object)})
+        return pa.table({'name': pa.array(names, pa.string())})
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        # typed Arrow out (see JsonIteratorKernel.__call__: empty object-dtype
+        # pandas blocks spam Ray's size estimator)
         rows, _, _ = self._process(batch)
-        return pd.DataFrame(rows, columns=self.references, dtype=object)
+        return pa.table({r: pa.array([row.get(r) for row in rows], pa.large_string())
+                         for r in self.references})
 
 
 def _read_xml(rule, references, na_values, keep_order: bool = False,
@@ -713,7 +732,7 @@ def _read_rdb(rule, references, config: Config) -> ray.data.Dataset:
             df = pd.read_sql_query(sql, con)
         finally:
             con.close()
-        return ray.data.from_pandas(df) if len(df) else ray.data.from_pandas(df.astype(object))
+        return _from_pandas_typed(df)
     # server databases: distributed read via ray.data.read_sql — each read
     # task opens its own DBAPI connection from the factory (driver-side
     # to_pandas of a server table would be the wrong physical design)
@@ -759,7 +778,7 @@ def _read_pgdb(rule, config: Config) -> ray.data.Dataset:
         db = kuzu.Database(db_url)
         conn = kuzu.Connection(db)
         df = conn.execute(query).get_as_df()
-    return ray.data.from_pandas(df) if len(df) else ray.data.from_pandas(df.astype(object))
+    return _from_pandas_typed(df)
 
 
 def _dbapi_connection_factory(db_url: str):
