@@ -74,11 +74,13 @@ def _collection_triples(head: str, elements: list[str], gather_as: str,
 
 def _group_elements(g: pd.DataFrame, refs: list[str]) -> list[str]:
     """Element terms of one group: append refs in gather-list order, each
-    ref's distinct non-null values in source order (rml:append)."""
+    ref's distinct non-null values in source order (rml:append).  ``g`` is
+    already __order-sorted (the batch presorts once — per-group sorts were
+    the hot spot for many-group batches)."""
     elements: list[str] = []
     for ref in refs:
         col = f'__elem_{ref}'
-        vals = g.sort_values('__order')[col].dropna()
+        vals = g[col].dropna()
         seen = set()
         for v in vals:
             if v not in seen:
@@ -139,6 +141,9 @@ def materialize_gather_rule(data, rule, config):
             df['__obj'] = materialize_term(arrow, om_plan).to_pylist()
 
         triples: list[tuple[str, str, str]] = []
+        # ONE presort by (group, source order): groupby preserves row order
+        # within groups, so _group_elements never re-sorts per group
+        df = df.sort_values(group_cols + ['__order'], kind='stable')
         for key, g in df.groupby(group_cols, sort=True, dropna=False):
             gkey = '|'.join(str(k) for k in (key if isinstance(key, tuple) else (key,)))
             elements = _group_elements(g, refs)
@@ -169,8 +174,10 @@ def materialize_gather_rule(data, rule, config):
                          'predicate': pa.array(list(p), pa.large_string()),
                          'object': pa.array(list(o), pa.large_string())})
 
+    from .dedup import _ray_cpus
     try:
-        data = data.repartition(8, keys=group_cols, sort=False)
+        # scale the keyed exchange with the session, not a hard-coded 8
+        data = data.repartition(max(8, _ray_cpus()), keys=group_cols, sort=False)
     except Exception:
         data = data.repartition(1)
     return data.map_batches(build, batch_format='pyarrow')

@@ -47,7 +47,7 @@ from ..constants import (
     RML_DATATYPE_MAP,
     RML_LANGUAGE_MAP,
 )
-from ..mapping import get_rml_rule, retrieve_mappings
+from ..mapping import get_rml_rule, parse_join_conditions, retrieve_mappings
 from ..sources.readers import read_source
 from .kernels import compile_term_plan, get_references_in_template, ljoin, materialize_term
 from .dedup import distinct
@@ -65,7 +65,7 @@ def get_references_in_join_condition(rule, position_col: str):
     references, parent_references = [], []
     jc = rule[position_col]
     if pd.notna(jc) and jc:
-        for cond in eval(jc).values():  # noqa: S307 - engine-generated dict string
+        for cond in parse_join_conditions(jc).values():
             references.append(cond['child_value'])
             parent_references.append(cond['parent_value'])
     return references, parent_references
@@ -274,7 +274,7 @@ def merge_datasets(child_ds, parent_ds, join_conditions: str, config: Config):
     just to discover it is huge.  Small parents broadcast (ray.put once,
     read per task); large parents go through the hash-partitioned
     distributed join."""
-    jcs = eval(join_conditions)  # noqa: S307
+    jcs = parse_join_conditions(join_conditions)
     child_keys = [c['child_value'] for c in jcs.values()]
     parent_keys = ['parent_' + c['parent_value'] for c in jcs.values()]
 

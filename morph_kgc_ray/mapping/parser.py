@@ -14,6 +14,7 @@ is metadata-scale and is shipped to Ray tasks by closure capture.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 
@@ -267,6 +268,20 @@ def _typed_pairs(g: Graph, node, allowed) -> list[tuple[str, object]]:
     return pairs
 
 
+def dump_join_conditions(jcs: dict) -> str:
+    """Serialize a join-conditions dict into the rule-table column (JSON —
+    consumers use parse_join_conditions, never eval)."""
+    return json.dumps(jcs, sort_keys=True) if jcs else ''
+
+
+def parse_join_conditions(jc) -> dict:
+    """{cond_id: {'child_value': ..., 'parent_value': ...}} from the rule
+    column; empty dict for null/empty."""
+    if jc is None or (isinstance(jc, float) and pd.isna(jc)) or not jc:
+        return {}
+    return json.loads(jc)
+
+
 def _join_conditions_of(g: Graph, term_map) -> str:
     jcs = {}
     for jc in g.objects(term_map, RML_JOIN_CONDITION):
@@ -274,7 +289,7 @@ def _join_conditions_of(g: Graph, term_map) -> str:
         parent = g.value(jc, RML_PARENT)
         if child is not None and parent is not None:
             jcs[str(jc)] = {'child_value': str(child), 'parent_value': str(parent)}
-    return str(jcs) if jcs else ''
+    return dump_join_conditions(jcs)
 
 
 def _gather_info(g: Graph, term_map):
@@ -637,11 +652,11 @@ def _remove_delimiters(rml_df: pd.DataFrame) -> pd.DataFrame:
                 rml_df.at[i, f'{pos}_map_value'] = _undelimit(str(rule[f'{pos}_map_value']))
         for jc_pos in ('subject_join_conditions', 'object_join_conditions'):
             if pd.notna(rule[jc_pos]) and rule[jc_pos]:
-                jcs = eval(rule[jc_pos])  # noqa: S307 - trusted, engine-generated dict string
+                jcs = parse_join_conditions(rule[jc_pos])
                 for key in jcs:
                     jcs[key]['child_value'] = _undelimit(jcs[key]['child_value'])
                     jcs[key]['parent_value'] = _undelimit(jcs[key]['parent_value'])
-                rml_df.at[i, jc_pos] = str(jcs)
+                rml_df.at[i, jc_pos] = dump_join_conditions(jcs)
     return rml_df
 
 
@@ -709,7 +724,7 @@ def _remove_self_joins_no_condition(rml_df: pd.DataFrame) -> pd.DataFrame:
             continue
         remove_join = True
         try:
-            jcs = eval(rule['object_join_conditions'])  # noqa: S307
+            jcs = parse_join_conditions(rule['object_join_conditions'])
             for jc in jcs.values():
                 if jc['child_value'] != jc['parent_value']:
                     remove_join = False
