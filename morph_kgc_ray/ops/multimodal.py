@@ -1,47 +1,235 @@
-"""Multimodal column plumbing: image/audio/video as opaque ``binary``
-columns with typed metadata.
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns with
+typed metadata, decoded by actor-pool ``map_batches`` stages.
 
-The decode libraries (Pillow, torchaudio, pyav...) are NOT in this
-container, so the decode kernels are stubbed behind a deterministic fake
-(or NotImplementedError when strict), while the Ray-side plumbing — schema,
-actor-pool signature, batch sizing, output layout — is real and tested.
+Decode coverage in THIS container (no Pillow/pyav/torchaudio):
+
+- **Real decoders, pure numpy/stdlib**: BMP (uncompressed 24/32-bit),
+  PNG (8-bit grey/RGB/RGBA, non-interlaced — zlib + unfilter), PPM/PGM
+  (binary P6/P5), WAV (stdlib ``wave``: PCM 8/16/32-bit).  These paths
+  produce true pixels/samples and real features (per-channel mean/std).
+- **Deterministic fake** for formats that genuinely need a codec library
+  (JPEG, MP4...): dimensions/features derived from sha256 of the payload —
+  clearly marked, reproducible in SQL for the oracle check, swapped out by
+  plugging the real codec into ``decode_image_bytes``.  ``strict=True``
+  raises ``NotImplementedError`` instead of faking.
 
 Scale notes: binary payloads are MBs/row, so these stages use SMALL
 batch_size and pyarrow batches (binary columns round-trip zero-copy through
-Arrow, not through pandas object dtype).
+Arrow, not through pandas object dtype).  Codec/feature state lives in the
+actor (``__init__`` once per actor, ``__call__`` per batch).
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
 import ray.data
 
 
-class ImageDecodeKernel:
-    """Actor-pool stage: decode image bytes -> (width, height, feature vector).
+# --------------------------------------------------------------------------
+# real image decoders (pure numpy / stdlib)
+# --------------------------------------------------------------------------
 
-    Real deployments plug Pillow/turbojpeg into ``_decode``; this container
-    uses a deterministic fake (strict=False) so the pipeline shape is
-    testable end-to-end."""
+def _decode_bmp(blob: bytes) -> 'np.ndarray | None':
+    """Uncompressed 24/32-bit BMP -> (h, w, 3) uint8 (BGR->RGB, bottom-up
+    rows, 4-byte row padding).  Returns None unless the header validates
+    fully (so text payloads starting with 'BM' can never be misdecoded)."""
+    if len(blob) < 54 or blob[:2] != b'BM':
+        return None
+    try:
+        pixel_off = struct.unpack_from('<I', blob, 10)[0]
+        hdr_size = struct.unpack_from('<I', blob, 14)[0]
+        if hdr_size < 40:
+            return None
+        width, height = struct.unpack_from('<ii', blob, 18)
+        planes, bpp = struct.unpack_from('<HH', blob, 26)
+        compression = struct.unpack_from('<I', blob, 30)[0]
+        if planes != 1 or compression != 0 or bpp not in (24, 32):
+            return None
+        if not (0 < width <= 1 << 16 and 0 < abs(height) <= 1 << 16):
+            return None
+        bottom_up = height > 0
+        height = abs(height)
+        row_bytes = (width * (bpp // 8) + 3) & ~3
+        if pixel_off + row_bytes * height > len(blob):
+            return None
+        data = np.frombuffer(blob, np.uint8, count=row_bytes * height, offset=pixel_off)
+        rows = data.reshape(height, row_bytes)[:, :width * (bpp // 8)]
+        px = rows.reshape(height, width, bpp // 8)
+        if bottom_up:
+            px = px[::-1]
+        return px[:, :, 2::-1]  # BGR(A) -> RGB
+    except (struct.error, ValueError):
+        return None
+
+
+_PNG_SIG = b'\x89PNG\r\n\x1a\n'
+
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
+    """Reverse PNG scanline filters (types 0-4) -> (h, w, ch) uint8."""
+    stride = w * ch
+    raw = raw.reshape(h, stride + 1)
+    ftypes = raw[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        line = raw[y, 1:].astype(np.int32)
+        f = ftypes[y]
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        cur = np.zeros(stride, np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub/Average/Paeth need the left neighbor: sequential per pixel
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                if f == 1:
+                    v = line[x] + a
+                elif f == 3:
+                    v = line[x] + ((a + b) >> 1)
+                else:  # Paeth
+                    c = prev[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+                    v = line[x] + pred
+                cur[x] = v & 0xFF
+        out[y] = cur.astype(np.uint8)
+    return out.reshape(h, w, ch)
+
+
+def _decode_png(blob: bytes) -> 'np.ndarray | None':
+    """8-bit grey/RGB/RGBA non-interlaced PNG -> (h, w, ch) uint8."""
+    if not blob.startswith(_PNG_SIG):
+        return None
+    try:
+        pos = 8
+        w = h = None
+        ch = 0
+        idat = b''
+        while pos + 8 <= len(blob):
+            length, ctype = struct.unpack_from('>I4s', blob, pos)
+            chunk = blob[pos + 8:pos + 8 + length]
+            pos += 12 + length
+            if ctype == b'IHDR':
+                w, h, depth, color, comp, filt, interlace = struct.unpack('>IIBBBBB', chunk)
+                if depth != 8 or interlace != 0 or comp != 0 or filt != 0:
+                    return None
+                ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+                if ch is None or not (0 < w <= 1 << 16 and 0 < h <= 1 << 16):
+                    return None
+            elif ctype == b'IDAT':
+                idat += chunk
+            elif ctype == b'IEND':
+                break
+        if w is None or not idat:
+            return None
+        raw = np.frombuffer(zlib.decompress(idat), np.uint8)
+        if len(raw) != h * (w * ch + 1):
+            return None
+        return _png_unfilter(raw, h, w, ch)
+    except (struct.error, ValueError, zlib.error):
+        return None
+
+
+def _decode_pnm(blob: bytes) -> 'np.ndarray | None':
+    """Binary PPM (P6) / PGM (P5) -> (h, w, ch) uint8, maxval <= 255."""
+    if blob[:2] not in (b'P5', b'P6'):
+        return None
+    try:
+        ch = 3 if blob[:2] == b'P6' else 1
+        # header tokens: magic, width, height, maxval (comments start '#')
+        tokens: list[bytes] = []
+        i = 2
+        while len(tokens) < 3 and i < len(blob):
+            c = blob[i:i + 1]
+            if c == b'#':
+                i = blob.index(b'\n', i) + 1
+            elif c.isspace():
+                i += 1
+            else:
+                j = i
+                while j < len(blob) and not blob[j:j + 1].isspace():
+                    j += 1
+                tokens.append(blob[i:j])
+                i = j
+        i += 1  # single whitespace after maxval
+        w, h, maxval = (int(t) for t in tokens)
+        if maxval > 255 or not (0 < w <= 1 << 16 and 0 < h <= 1 << 16):
+            return None
+        need = w * h * ch
+        if len(blob) - i < need:
+            return None
+        return np.frombuffer(blob, np.uint8, count=need, offset=i).reshape(h, w, ch)
+    except (ValueError, IndexError):
+        return None
+
+
+def decode_image_bytes(blob: bytes) -> 'np.ndarray | None':
+    """Decode supported image formats to an (h, w, ch) uint8 array; None for
+    unsupported formats (JPEG etc. — plug the real codec here)."""
+    for dec in (_decode_png, _decode_bmp, _decode_pnm):
+        px = dec(blob)
+        if px is not None:
+            return px
+    return None
+
+
+def image_features(px: np.ndarray, feature_dim: int = 8) -> np.ndarray:
+    """Real feature vector from decoded pixels: per-channel mean/std in
+    [0, 1], padded/trimmed to feature_dim."""
+    f = px.reshape(-1, px.shape[-1]).astype(np.float32) / 255.0
+    feats = np.concatenate([f.mean(axis=0), f.std(axis=0)])
+    out = np.zeros(feature_dim, dtype=np.float32)
+    out[:min(feature_dim, len(feats))] = feats[:feature_dim]
+    return out
+
+
+def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize via index gather (no codec libs needed)."""
+    h, w = px.shape[:2]
+    yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return px[yi][:, xi]
+
+
+# --------------------------------------------------------------------------
+# actor-pool kernels
+# --------------------------------------------------------------------------
+
+class ImageDecodeKernel:
+    """Actor-pool stage: decode image bytes -> (width, height, feature
+    vector).  BMP/PNG/PPM/PGM decode for real (pure numpy/stdlib);
+    unsupported formats use the deterministic sha256 fake (or raise when
+    strict) — the swap-in point for Pillow/turbojpeg is ``decode_image_bytes``."""
 
     def __init__(self, binary_col: str = 'image', feature_dim: int = 8, strict: bool = False):
         self.binary_col = binary_col
         self.feature_dim = feature_dim
         self.strict = strict
-        # a real kernel would load the codec / model ONCE here (per actor)
+        # a real codec/model would also load ONCE here (per actor)
 
     def _decode(self, blob: bytes):
+        px = decode_image_bytes(blob)
+        if px is not None:
+            h, w = px.shape[:2]
+            return w, h, image_features(px, self.feature_dim)
         if self.strict:
-            raise NotImplementedError('image decoding requires Pillow; not in this container')
+            raise NotImplementedError(
+                'unsupported image format (JPEG needs Pillow; not in this container)')
         # deterministic fake: dimensions and features derived from a hash
         # (sha256 so the fake is reproducible in SQL for the oracle check)
-        h = hashlib.sha256(blob).digest()
-        width = 64 + h[0]
-        height = 64 + h[1]
-        feats = (np.frombuffer(h, dtype=np.uint8)[:self.feature_dim].astype(np.float32) / 255.0)
+        d = hashlib.sha256(blob).digest()
+        width = 64 + d[0]
+        height = 64 + d[1]
+        feats = (np.frombuffer(d, dtype=np.uint8)[:self.feature_dim].astype(np.float32) / 255.0)
         return width, height, feats
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -57,17 +245,88 @@ class ImageDecodeKernel:
                                                     pa.list_(pa.float32())))
 
 
-def decode_images(ds: ray.data.Dataset, binary_col: str = 'image', concurrency: int = 4,
-                  batch_size: int = 64) -> ray.data.Dataset:
-    """Small batches: batch_size * payload must fit the worker heap."""
-    return ds.map_batches(ImageDecodeKernel, fn_constructor_kwargs={'binary_col': binary_col},
-                          batch_format='pyarrow',
-                          concurrency=(1, concurrency), batch_size=batch_size)
+class ImageResizeKernel:
+    """Actor-pool stage: decode + nearest-neighbor resize -> raw RGB bytes
+    (out_w*out_h*ch per row) with the output dims as columns.  Rows whose
+    format cannot be decoded in-container pass through with null pixels."""
+
+    def __init__(self, out_w: int, out_h: int, binary_col: str = 'image'):
+        self.out_w = out_w
+        self.out_h = out_h
+        self.binary_col = binary_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        blobs = []
+        for blob in t[self.binary_col].to_pylist():
+            px = decode_image_bytes(blob or b'')
+            blobs.append(resize_nearest(px, self.out_w, self.out_h).tobytes()
+                         if px is not None else None)
+        t = t.append_column('resized', pa.array(blobs, pa.large_binary()))
+        t = t.append_column('resized_w', pa.array([self.out_w] * t.num_rows, pa.int32()))
+        return t.append_column('resized_h', pa.array([self.out_h] * t.num_rows, pa.int32()))
+
+
+class AudioDecodeKernel:
+    """Actor-pool stage: WAV bytes -> (sample_rate, n_samples, duration_s,
+    rms, zero-crossing rate) via the stdlib ``wave`` module — a REAL audio
+    decode path.  Non-WAV payloads: deterministic sha256 fake (or raise when
+    strict); plug torchaudio/soundfile here for MP3/FLAC."""
+
+    def __init__(self, binary_col: str = 'audio', strict: bool = False):
+        self.binary_col = binary_col
+        self.strict = strict
+
+    def _decode(self, blob: bytes):
+        try:
+            with wave_open(blob) as wf:
+                rate = wf.getframerate()
+                n = wf.getnframes()
+                width = wf.getsampwidth()
+                frames = wf.readframes(n)
+            dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+            if dtype is None:
+                raise ValueError(f'unsupported sample width {width}')
+            x = np.frombuffer(frames, dtype=dtype).astype(np.float64)
+            if width == 1:
+                x -= 128.0
+            if len(x) == 0:
+                return rate, 0, 0.0, 0.0, 0.0
+            rms = float(np.sqrt(np.mean(x * x)))
+            zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
+            return rate, n, n / rate if rate else 0.0, rms, zcr
+        except Exception:
+            if self.strict:
+                raise NotImplementedError(
+                    'unsupported audio format (non-WAV needs torchaudio/soundfile)')
+            d = hashlib.sha256(blob).digest()
+            return 8000 + d[0], d[1], d[1] / 8000.0, float(d[2]), float(d[3]) / 255.0
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rates, counts, durs, rmss, zcrs = [], [], [], [], []
+        for blob in t[self.binary_col].to_pylist():
+            r, n, dur, rms, zcr = self._decode(blob or b'')
+            rates.append(r)
+            counts.append(n)
+            durs.append(dur)
+            rmss.append(rms)
+            zcrs.append(zcr)
+        t = t.append_column('sample_rate', pa.array(rates, pa.int32()))
+        t = t.append_column('n_samples', pa.array(counts, pa.int64()))
+        t = t.append_column('duration_s', pa.array(durs, pa.float64()))
+        t = t.append_column('rms', pa.array(rmss, pa.float64()))
+        return t.append_column('zcr', pa.array(zcrs, pa.float64()))
+
+
+def wave_open(blob: bytes):
+    import wave
+    return wave.open(io.BytesIO(blob), 'rb')
 
 
 class FrameSampleKernel:
-    """Video frame sampling stub: emits (doc_id, frame_index, frame_bytes)
-    rows — one input row explodes to n_frames output rows (flat-map shape)."""
+    """Video frame sampling: emits (doc_id, frame_index, frame_bytes) rows —
+    one input row explodes to n_frames output rows (flat-map shape).  Real
+    container formats (MP4...) need pyav; in-container the payload is sliced
+    deterministically so the explode plumbing is testable end-to-end."""
 
     def __init__(self, binary_col: str = 'video', n_frames: int = 4, strict: bool = False):
         self.binary_col = binary_col
@@ -88,6 +347,35 @@ class FrameSampleKernel:
                 blobs.append(blob[i * step:(i + 1) * step])
         return pa.table({id_col: pa.array(ids), 'frame_index': pa.array(frames, pa.int32()),
                          'frame_bytes': pa.array(blobs, pa.large_binary())})
+
+
+# --------------------------------------------------------------------------
+# Dataset-level ops
+# --------------------------------------------------------------------------
+
+def decode_images(ds: ray.data.Dataset, binary_col: str = 'image', concurrency: int = 4,
+                  batch_size: int = 64) -> ray.data.Dataset:
+    """Small batches: batch_size * payload must fit the worker heap."""
+    return ds.map_batches(ImageDecodeKernel, fn_constructor_kwargs={'binary_col': binary_col},
+                          batch_format='pyarrow',
+                          concurrency=(1, concurrency), batch_size=batch_size)
+
+
+def resize_images(ds: ray.data.Dataset, out_w: int, out_h: int,
+                  binary_col: str = 'image', concurrency: int = 4,
+                  batch_size: int = 32) -> ray.data.Dataset:
+    return ds.map_batches(ImageResizeKernel,
+                          fn_constructor_kwargs={'out_w': out_w, 'out_h': out_h,
+                                                 'binary_col': binary_col},
+                          batch_format='pyarrow',
+                          concurrency=(1, concurrency), batch_size=batch_size)
+
+
+def decode_audio(ds: ray.data.Dataset, binary_col: str = 'audio', concurrency: int = 4,
+                 batch_size: int = 64) -> ray.data.Dataset:
+    return ds.map_batches(AudioDecodeKernel, fn_constructor_kwargs={'binary_col': binary_col},
+                          batch_format='pyarrow',
+                          concurrency=(1, concurrency), batch_size=batch_size)
 
 
 def sample_frames(ds: ray.data.Dataset, binary_col: str = 'video', n_frames: int = 4,

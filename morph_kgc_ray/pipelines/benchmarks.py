@@ -368,6 +368,48 @@ def multimodal_image_features(sf_dir: str):
     return decode_images(ds, concurrency=2).select_columns(['doc_id', 'width', 'height'])
 
 
+def multimodal_real_decode(sf_dir: str):
+    """REAL in-container image decode (BMP, pure numpy — no codec libs):
+    each doc gets a solid-color BMP whose dims/color derive from doc_id; the
+    decode actor pool recovers ACTUAL pixels (width, height, per-channel
+    mean) and the oracle recomputes them arithmetically.  Unlike
+    ``multimodal_image_features`` (which oracle-checks the sha256 fake used
+    for codec-gated formats), this checks true pixel decoding end-to-end."""
+    import struct
+
+    from ..ops.multimodal import decode_images
+    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id'])
+
+    def solid_bmp(w: int, h: int, rgb: tuple) -> bytes:
+        row = w * 3
+        pad = (4 - row % 4) % 4
+        line = bytes(rgb[::-1]) * w + b'\0' * pad
+        body = line * h
+        hdr = struct.pack('<2sIHHI', b'BM', 54 + len(body), 0, 0, 54)
+        dib = struct.pack('<IiiHHIIiiII', 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        return hdr + dib + body
+
+    def to_bmp(t: pa.Table) -> pa.Table:
+        ids = t['doc_id'].to_numpy(zero_copy_only=False)
+        blobs = [solid_bmp(4 + int(i) % 5, 3 + int(i) % 7,
+                           (int(i) % 256, (int(i) * 7) % 256, (int(i) * 13) % 256))
+                 for i in ids]
+        return pa.table({'doc_id': t['doc_id'], 'image': pa.array(blobs, pa.large_binary())})
+
+    out = decode_images(ds.map_batches(to_bmp, batch_format='pyarrow'), concurrency=2)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        # features[0] is the real red-channel mean in [0,1]; scale back to the
+        # exact 0-255 color byte for an integer-stable oracle compare
+        red = pc.list_element(t['features'], 0)
+        red255 = pc.round(pc.multiply(pc.cast(red, pa.float64()), 255.0))
+        return pa.table({'doc_id': t['doc_id'], 'width': t['width'],
+                         'height': t['height'],
+                         'red_mean_255': pc.cast(red255, pa.int64())})
+
+    return out.map_batches(finalize, batch_format='pyarrow')
+
+
 def web_kg_construction(sf_dir: str):
     """Flagship pipeline over a deterministic synthetic page corpus sized by
     the sf of the input dir (rows-only check; the bnode-free triple set is
@@ -408,6 +450,7 @@ QUERIES = {
     'ivf_ann_embeddings': ivf_ann_embeddings,
     'ivf_recall_embeddings': ivf_recall_embeddings,
     'multimodal_image_features': multimodal_image_features,
+    'multimodal_real_decode': multimodal_real_decode,
     'web_kg_construction': web_kg_construction,
 }
 
@@ -693,6 +736,12 @@ ORACLE_SQL['embedding_neardup_clusters_lsh'] = _components_sql('''corpus AS (
         FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.95)''', 'vec_id')
+ORACLE_SQL['multimodal_real_decode'] = '''
+    SELECT doc_id,
+           CAST(4 + doc_id % 5 AS INTEGER) AS width,
+           CAST(3 + doc_id % 7 AS INTEGER) AS height,
+           CAST(doc_id % 256 AS BIGINT) AS red_mean_255
+    FROM documents'''
 ORACLE_SQL['lang_id_documents'] = (
     f'SELECT doc_id, {_langid_case_sql()} AS lang_pred '
     f"FROM (SELECT doc_id, {_langid_score_columns('text')} FROM documents)")
