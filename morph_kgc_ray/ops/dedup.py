@@ -777,6 +777,46 @@ def shingle_jaccard(a: str, b: str, k: int = 5) -> float:
     return len(ga & gb) / max(1, len(ga | gb))
 
 
+def _shingle_kernel(k: int) -> MinHashKernel:
+    kern = _SHINGLE_KERNELS.get(k)
+    if kern is None:
+        kern = _SHINGLE_KERNELS[k] = MinHashKernel(num_perm=1, k=k)
+    return kern
+
+
+_SHINGLE_KERNELS: dict = {}
+
+
+def shingle_jaccard_batch(texts_a, texts_b, k: int = 5) -> np.ndarray:
+    """Vectorized pairwise k-word-shingle Jaccard: both text columns run
+    through the SAME vectorized shingle-hash kernel MinHash signatures use
+    (tokenize -> FNV-1a token hashes -> rolling window combine), then each
+    pair intersects its sorted per-doc hash sets — no Python string-set
+    building per pair.  Distinct shingles collide at ~2^-64, so scores equal
+    ``shingle_jaccard`` exactly in practice (empty-doc semantics match: an
+    empty doc hashes to the single sentinel window {0}, mirroring the
+    empty-vs-empty = 1.0 / empty-vs-text = 0.0 contract)."""
+    if isinstance(texts_a, pa.ChunkedArray):
+        texts_a = texts_a.combine_chunks()
+    if isinstance(texts_b, pa.ChunkedArray):
+        texts_b = texts_b.combine_chunks()
+    n = len(texts_a)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    combined = pa.concat_arrays([texts_a.cast(pa.large_string()),
+                                 texts_b.cast(pa.large_string())])
+    wh, wc = _shingle_kernel(k).shingle_hashes(combined)
+    offs = np.concatenate(([0], np.cumsum(wc)))
+    sims = np.empty(n, dtype=np.float64)
+    for i in range(n):
+        a = np.unique(wh[offs[i]:offs[i + 1]])
+        b = np.unique(wh[offs[n + i]:offs[n + i + 1]])
+        inter = np.intersect1d(a, b, assume_unique=True).size
+        union = a.size + b.size - inter
+        sims[i] = inter / union if union else 1.0
+    return sims
+
+
 def verify_pairs_jaccard(pairs: ray.data.Dataset, docs: ray.data.Dataset, id_col: str = 'doc_id',
                          text_col: str = 'text', threshold: float = 0.8,
                          num_partitions: int = 16, metric: str = 'word5',
@@ -834,8 +874,13 @@ def verify_pairs_jaccard(pairs: ray.data.Dataset, docs: ray.data.Dataset, id_col
             lookup = _ray.get(ref)
             a_ids = t['id_a'].to_pylist()
             b_ids = t['id_b'].to_pylist()
-            sims = pa.array([sim_fn(lookup.get(a, ''), lookup.get(b, ''))
-                             for a, b in zip(a_ids, b_ids)], pa.float64())
+            if metric == 'word5':
+                ta = pa.array([lookup.get(a, '') for a in a_ids], pa.large_string())
+                tb = pa.array([lookup.get(b, '') for b in b_ids], pa.large_string())
+                sims = pa.array(shingle_jaccard_batch(ta, tb), pa.float64())
+            else:
+                sims = pa.array([sim_fn(lookup.get(a, ''), lookup.get(b, ''))
+                                 for a, b in zip(a_ids, b_ids)], pa.float64())
             out = t.select(['id_a', 'id_b']).append_column('jaccard', sims)
             return out.filter(pc.greater_equal(sims, threshold))
 
@@ -885,9 +930,13 @@ def verify_pairs_jaccard(pairs: ray.data.Dataset, docs: ray.data.Dataset, id_col
     sim_fn = shingle_jaccard if metric == 'word5' else ngram_jaccard
 
     def score(t: pa.Table) -> pa.Table:
-        sims = pa.array([sim_fn(a or '', b or '')
-                         for a, b in zip(t['__text_a'].to_pylist(), t['__text_b'].to_pylist())],
-                        pa.float64())
+        if metric == 'word5':
+            sims = pa.array(shingle_jaccard_batch(t['__text_a'], t['__text_b']),
+                            pa.float64())
+        else:
+            sims = pa.array([sim_fn(a or '', b or '')
+                             for a, b in zip(t['__text_a'].to_pylist(), t['__text_b'].to_pylist())],
+                            pa.float64())
         t = t.drop_columns(['__text_a', '__text_b']).append_column('jaccard', sims)
         return t.filter(pc.greater_equal(sims, threshold))
 
