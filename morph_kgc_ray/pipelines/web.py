@@ -74,16 +74,38 @@ class TripleEmitKernel:
             gaz = gazetteer_ref
         else:
             gaz = ray.get(gazetteer_ref)
-        # one alternation pattern PER CANONICAL ENTITY, matched with Arrow's
-        # re2 kernel over the whole text column — ~5x faster than a single
-        # giant Python alternation scanned row by row, and alias->IRI
-        # canonicalization comes free (the pattern IS the canonical entity)
+        # Mention scan plan (generic over any alias->IRI gazetteer):
+        # 1. single-token aliases (\w+ surface forms) detect via ONE \W+
+        #    tokenization pass + a hash join of tokens against the alias
+        #    table — token == alias is exactly \b alias \b (a token is a
+        #    maximal \w+ run);
+        # 2. multi-word aliases whose text match IMPLIES a single-token
+        #    alias of the same entity ('Acme001 Inc' contains token
+        #    'Acme001') are subsumed — no extra work;
+        # 3. only non-subsumed multi-word aliases keep a per-entity re2
+        #    alternation pass (none in the default gazetteer).
         by_iri: dict[str, list[str]] = {}
         for alias, iri in gaz.items():
             by_iri.setdefault(iri, []).append(alias)
-        self.iri_patterns = [
-            (iri, r'\b(?:' + '|'.join(re.escape(a) for a in sorted(aliases, key=len, reverse=True)) + r')\b')
-            for iri, aliases in sorted(by_iri.items())]
+        token_alias, token_iri = [], []
+        self.iri_patterns = []
+        for iri, aliases in sorted(by_iri.items()):
+            singles = [a for a in aliases if re.fullmatch(r'\w+', a)]
+            for a in singles:
+                token_alias.append(a)
+                token_iri.append(iri)
+            rest = [a for a in aliases
+                    if not re.fullmatch(r'\w+', a)
+                    and not any(re.search(rf'\b{re.escape(s)}\b', a) for s in singles)]
+            if rest:
+                self.iri_patterns.append(
+                    (iri, r'\b(?:' + '|'.join(re.escape(a) for a in sorted(rest, key=len, reverse=True)) + r')\b'))
+        self.alias_values = pa.array(token_alias, pa.string())
+        uniq_iris = sorted(set(token_iri))
+        self._iri_index = {x: i for i, x in enumerate(uniq_iris)}
+        import numpy as _np
+        self.alias_iri_idx = _np.array([self._iri_index[x] for x in token_iri], dtype=_np.int64)
+        self.iri_terms = pa.array([f'<{x}>' for x in uniq_iris], pa.large_string())
         self.canon = gaz
         # full page text as a literal is optional: at crawl scale the KG
         # stores a content DIGEST per page instead — shuffling multi-KB page
@@ -138,11 +160,30 @@ class TripleEmitKernel:
             digests = [hashlib.sha256((text or '').encode('utf-8')).hexdigest()
                        for text in texts]
 
-        # --- gazetteer mentions: per-entity vectorized re2 match over the
-        # text column; matched rows take their subject terms zero-copy ---
+        # --- gazetteer mentions: ONE \W+ tokenization pass + hash join of
+        # tokens against the single-token alias table (replaces 200 per-
+        # entity regex passes over the corpus); leftover multi-word aliases
+        # (none in the default gazetteer) still get per-entity re2 passes ---
+        import numpy as _np
         import pyarrow.compute as pc
         text_col = t['text'].combine_chunks() if isinstance(t['text'], pa.ChunkedArray) else t['text']
         mention_subjects, mention_objects = [], []
+        if len(self.alias_values):
+            toks = pc.split_pattern_regex(pc.fill_null(text_col, ''), r'\W+')
+            flat = pc.list_flatten(toks)
+            counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(_np.int64)
+            hit = pc.index_in(flat, value_set=self.alias_values)
+            hit_np = hit.to_numpy(zero_copy_only=False)
+            valid = hit_np == hit_np  # NaN-safe non-null mask
+            if valid.any():
+                row_of = _np.repeat(_np.arange(n, dtype=_np.int64), counts)
+                rows = row_of[valid]
+                iri_idx = self.alias_iri_idx[hit_np[valid].astype(_np.int64)]
+                pairs = _np.unique(rows * len(self._iri_index) + iri_idx)
+                rows_u = pairs // len(self._iri_index)
+                iri_u = pairs % len(self._iri_index)
+                mention_subjects.append(subj.take(pa.array(rows_u)))
+                mention_objects.append(self.iri_terms.take(pa.array(iri_u)))
         for iri, pattern in self.iri_patterns:
             mask = pc.match_substring_regex(text_col, pattern)
             idx = pc.indices_nonzero(mask)
