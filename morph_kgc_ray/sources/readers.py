@@ -575,7 +575,17 @@ class XmlIteratorKernel:
       'a/b@attr'       attribute at a nested path
       '.'              text of the iterator node
       'a/b'            text of matching descendants (explodes)
+      'a/b/text()'     same as 'a/b'
       '/*', '/a/b', '//a', 'a'  as iterator paths
+
+    plus everything ElementTree's limited-XPath grammar accepts inside a
+    path step — wildcards ('*/b'), descendant steps ('.//b'), and
+    predicates: "item[@type='x']", 'item[2]', 'item[last()]',
+    'item[child]' — in both iterators and references (e.g.
+    "item[@type='x']@id" takes the id attribute of the predicate-matching
+    elements; the '@' splits only OUTSIDE brackets).  Not covered: XPath
+    functions beyond text()/last(), axes, and cross-step comparisons (the
+    reference's elementpath accepts full XPath 3.0, data_file.py:188-253).
 
     Multi-valued references explode (cartesian across references,
     data_file.py:250-251)."""
@@ -600,12 +610,27 @@ class XmlIteratorKernel:
 
     @staticmethod
     def _split_attr(ref: str) -> tuple[str, str | None]:
-        """'elem@attr' / 'a/b@attr' / '@attr' -> (elem_path, attr)."""
+        """'elem@attr' / 'a/b@attr' / '@attr' -> (elem_path, attr).
+
+        Only an ``@`` OUTSIDE predicate brackets splits: ``item[@t='x']/name``
+        is a pure element path (ElementTree evaluates the predicate), while
+        ``item[@t='x']@id`` extracts the ``id`` attribute of the matching
+        elements.  A trailing ``/text()`` step is equivalent to element-text
+        extraction."""
         r = ref.strip()
-        if '@' in r:
-            elem, attr = r.rsplit('@', 1)
-            elem = elem.rstrip('/')
-            return elem, attr
+        if r.endswith('/text()'):
+            r = r[:-len('/text()')]
+        depth = 0
+        pos = -1
+        for i, ch in enumerate(r):
+            if ch == '[':
+                depth += 1
+            elif ch == ']':
+                depth -= 1
+            elif ch == '@' and depth == 0:
+                pos = i
+        if pos >= 0:
+            return r[:pos].rstrip('/'), r[pos + 1:]
         return r, None
 
     def _extract(self, node, ref: str, ns: dict) -> list[str]:

@@ -501,3 +501,44 @@ def test_sql_dialect_quoting():
     assert my == 'SELECT `Name` FROM `Student` WHERE `Name` IS NOT NULL'
     sqlite = _build_sql_query(rule, ['Name'], 'sqlite:///x.db')
     assert '"Name"' in sqlite
+
+
+def test_xml_xpath_predicates_and_text_steps(ray_session, tmp_path):
+    """The ElementTree-backed XPath subset must handle predicates,
+    positional indexes, wildcards and text() steps in iterators and
+    references, with '@' splitting only outside predicate brackets."""
+    from morph_kgc_ray.sources.readers import XmlIteratorKernel, _read_xml
+    import pandas as pd
+
+    xml = '''<root>
+      <item type="x" id="1"><name>Alpha</name><tag>t1</tag><tag>t2</tag></item>
+      <item type="y" id="2"><name>Beta</name><tag>t3</tag></item>
+      <item type="x" id="3"><name>Gamma</name></item>
+    </root>'''
+    p = tmp_path / 'd.xml'
+    p.write_text(xml)
+
+    def run(iterator, refs):
+        k = XmlIteratorKernel(iterator, refs)
+        out = k(pd.DataFrame({'bytes': [xml.encode()]}))
+        return out.to_pydict()
+
+    # predicate in the ITERATOR
+    got = run("/root/item[@type='x']", ['name'])
+    assert got['name'] == ['Alpha', 'Gamma']
+    # predicate in a REFERENCE + attribute after the bracket
+    got = run('/root', ["item[@type='x']@id"])
+    assert sorted(got["item[@type='x']@id"]) == ['1', '3']
+    # positional index and text() step
+    got = run('/root/item[1]', ['tag[2]/text()'])
+    assert got['tag[2]/text()'] == ['t2']
+    # wildcard step
+    got = run('/root/*[@id="2"]', ['name/text()'])
+    assert got['name/text()'] == ['Beta']
+
+    # end-to-end through read_source-level reader (multi-file glob ok)
+    rule = {'logical_source_value': str(p), 'iterator': "/root/item[@type='x']"}
+    ds = _read_xml(rule, ['name', '@id'], na_values=[])
+    df = ds.to_pandas().sort_values('@id').reset_index(drop=True)
+    assert list(df['name']) == ['Alpha', 'Gamma']
+    assert list(df['@id']) == ['1', '3']
