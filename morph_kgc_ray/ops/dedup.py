@@ -751,11 +751,17 @@ def simhash(ds: ray.data.Dataset, text_col: str = 'text', concurrency: int = 4) 
 
 def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     """Character-n-gram Jaccard similarity of two strings."""
+    inter, union = ngram_overlap_counts(a, b, n)
+    if union == 0:
+        return 1.0
+    return inter / union
+
+
+def ngram_overlap_counts(a: str, b: str, n: int = 3) -> 'tuple[int, int]':
+    """(|intersection|, |union|) of the char-n-gram sets of two strings."""
     ga = {a[i:i + n] for i in range(max(1, len(a) - n + 1))}
     gb = {b[i:i + n] for i in range(max(1, len(b) - n + 1))}
-    if not ga and not gb:
-        return 1.0
-    return len(ga & gb) / max(1, len(ga | gb))
+    return len(ga & gb), len(ga | gb)
 
 
 def _word_shingles(text: str, k: int = 5) -> set:
@@ -820,7 +826,8 @@ def shingle_jaccard_batch(texts_a, texts_b, k: int = 5) -> np.ndarray:
 def verify_pairs_jaccard(pairs: ray.data.Dataset, docs: ray.data.Dataset, id_col: str = 'doc_id',
                          text_col: str = 'text', threshold: float = 0.8,
                          num_partitions: int = 16, metric: str = 'word5',
-                         broadcast_pair_cap: int = 20_000) -> ray.data.Dataset:
+                         broadcast_pair_cap: int = 20_000,
+                         emit: str = 'filter') -> ray.data.Dataset:
     """Filter candidate pairs by exact Jaccard via two hash-partitioned
     joins against the doc texts (pairs ⋈ docs on id_a, then on id_b) — texts
     travel only to the pairs that need them, so this scales with the
@@ -837,9 +844,20 @@ def verify_pairs_jaccard(pairs: ray.data.Dataset, docs: ray.data.Dataset, id_col
     MinHash-LSH candidates approximate, so thresholding here measures the
     same similarity the candidate stage screened for.  ``metric='char3'``
     uses character-3-gram Jaccard (edit-level similarity; note natural-text
-    corpora share most char-3-grams, so background pairs score high)."""
+    corpora share most char-3-grams, so background pairs score high).
+
+    ``emit='counts'`` returns EVERY pair with integer overlap columns
+    (``inter``, ``uni``) of the metric's set comparison instead of
+    threshold-filtering — integer outputs hash stably against a SQL
+    oracle."""
     docs = docs.select_columns([id_col, text_col])
     sim_fn = shingle_jaccard if metric == 'word5' else ngram_jaccard
+
+    def _counts(a: str, b: str) -> 'tuple[int, int]':
+        if metric == 'char3':
+            return ngram_overlap_counts(a, b)
+        ga, gb = _word_shingles(a), _word_shingles(b)
+        return len(ga & gb), len(ga | gb)
 
     pairs = pairs.materialize()
     n_pairs = pairs.count()
@@ -874,6 +892,12 @@ def verify_pairs_jaccard(pairs: ray.data.Dataset, docs: ray.data.Dataset, id_col
             lookup = _ray.get(ref)
             a_ids = t['id_a'].to_pylist()
             b_ids = t['id_b'].to_pylist()
+            if emit == 'counts':
+                cs = [_counts(lookup.get(a, ''), lookup.get(b, ''))
+                      for a, b in zip(a_ids, b_ids)]
+                out = t.select(['id_a', 'id_b'])
+                out = out.append_column('inter', pa.array([c[0] for c in cs], pa.int64()))
+                return out.append_column('uni', pa.array([c[1] for c in cs], pa.int64()))
             if metric == 'word5':
                 ta = pa.array([lookup.get(a, '') for a in a_ids], pa.large_string())
                 tb = pa.array([lookup.get(b, '') for b in b_ids], pa.large_string())
@@ -930,6 +954,12 @@ def verify_pairs_jaccard(pairs: ray.data.Dataset, docs: ray.data.Dataset, id_col
     sim_fn = shingle_jaccard if metric == 'word5' else ngram_jaccard
 
     def score(t: pa.Table) -> pa.Table:
+        if emit == 'counts':
+            cs = [_counts(a or '', b or '')
+                  for a, b in zip(t['__text_a'].to_pylist(), t['__text_b'].to_pylist())]
+            out = t.drop_columns(['__text_a', '__text_b'])
+            out = out.append_column('inter', pa.array([c[0] for c in cs], pa.int64()))
+            return out.append_column('uni', pa.array([c[1] for c in cs], pa.int64()))
         if metric == 'word5':
             sims = pa.array(shingle_jaccard_batch(t['__text_a'], t['__text_b']),
                             pa.float64())

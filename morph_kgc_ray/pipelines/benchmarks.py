@@ -247,6 +247,20 @@ def jaccard_verified_pairs_documents(sf_dir: str):
     return out.select_columns(['id_a', 'id_b'])
 
 
+def ngram_jaccard_pairs_documents(sf_dir: str):
+    """Character-3-gram Jaccard over the word5-verified near-dup pairs:
+    LSH candidates -> exact word-shingle verification (>= 0.5) -> per-pair
+    char-3-gram set overlap emitted as INTEGER (inter, uni) counts.  The
+    oracle recomputes both the pair set and the gram counts with DuckDB
+    list kernels — integer outputs hash stably."""
+    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
+    pairs = dedup_ops.minhash_lsh_candidates(ds, small=_small(sf_dir, 'documents'))
+    verified = dedup_ops.verify_pairs_jaccard(pairs, ds, threshold=0.5)
+    out = dedup_ops.verify_pairs_jaccard(
+        verified.select_columns(['id_a', 'id_b']), ds, metric='char3', emit='counts')
+    return out.select_columns(['id_a', 'id_b', 'inter', 'uni'])
+
+
 def embedding_neardup_clusters(sf_dir: str):
     """Near-dup clusters over embeddings: EXACT cosine pairs (streamed
     broadcast matmul — right at this corpus' dimension scale) + join-based
@@ -441,6 +455,7 @@ QUERIES = {
     'fingerprint_documents': fingerprint_documents,
     'ann_topk_embeddings': ann_topk_embeddings,
     'embedding_neardup_pairs': embedding_neardup_pairs,
+    'ngram_jaccard_pairs_documents': ngram_jaccard_pairs_documents,
     'embedding_neardup_clusters': embedding_neardup_clusters,
     'embedding_neardup_clusters_lsh': embedding_neardup_clusters_lsh,
     'jaccard_verified_pairs_documents': jaccard_verified_pairs_documents,
@@ -724,6 +739,15 @@ def _web_kg_oracle_sql(pages_glob: str) -> str:
 ORACLE_SQL['jaccard_verified_pairs_documents'] = \
     'WITH ' + _shingle_pairs_sql() + ' SELECT id_a, id_b FROM pairs'
 ORACLE_SQL['minhash_dedup_documents'] = _components_sql(_shingle_pairs_sql(), 'doc_id')
+ORACLE_SQL['ngram_jaccard_pairs_documents'] = 'WITH ' + _shingle_pairs_sql() + ''',
+      g AS (SELECT doc_id AS id,
+              list_distinct([substr(text, i, 3)
+                             FOR i IN range(1, greatest(length(text) - 2, 1) + 1)]) AS cg
+            FROM documents)
+      SELECT p.id_a, p.id_b,
+             CAST(len(list_intersect(a.cg, b.cg)) AS BIGINT) AS inter,
+             CAST(len(list_distinct(a.cg || b.cg)) AS BIGINT) AS uni
+      FROM pairs p JOIN g a ON p.id_a = a.id JOIN g b ON p.id_b = b.id'''
 ORACLE_SQL['embedding_neardup_clusters'] = _components_sql(_cosine_pairs_cte(0.5), 'vec_id')
 # the sign-LSH twin: same recursive-CTE components, over the clone-augmented
 # corpus (UNION ALL replicates the query's deterministic planted duplicates)
