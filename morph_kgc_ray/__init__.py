@@ -9,6 +9,20 @@ IMPORTANT: library functions never call ray.init()/ray.shutdown(); the host
 process owns the Ray session (Ray Data auto-inits when standalone).
 """
 
+import os as _os
+
+# A Ray task accounts for ONE CPU slot; libraries with their own thread
+# pools (polars hash_rows, OpenMP BLAS) would silently use every host core
+# from inside each task — oversubscribing the node and corrupting any
+# scaling measurement (a num_cpus=8 session would really run on 32 cores).
+# Parallelism belongs to the Ray task/actor axis; cap intra-task pools to 1
+# unless the user explicitly set them.  Must happen before polars/numpy
+# import anywhere in the process (workers import this module fresh).
+_os.environ.setdefault('POLARS_MAX_THREADS', '1')
+_os.environ.setdefault('OMP_NUM_THREADS', '1')
+_os.environ.setdefault('OPENBLAS_NUM_THREADS', '1')
+_os.environ.setdefault('MKL_NUM_THREADS', '1')
+
 from .engine.dedup import ensure_hash_shuffle
 
 # The engine's distributed distinct/joins rely on key-based repartitioning,
