@@ -735,8 +735,44 @@ class SimHashKernel:
         return out
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        hs = [self.simhash64(x or '') for x in t[self.text_col].to_pylist()]
-        return t.append_column('simhash', pa.array(np.array(hs, dtype=np.uint64), pa.uint64()))
+        # batch-vectorized: Arrow tokenization -> dictionary-encode ->
+        # sha256 only the not-yet-cached UNIQUE words -> one scatter-add of
+        # word bit-vectors into per-doc accumulators -> pack sign bits
+        texts = t[self.text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, '')
+        d = len(texts)
+        if d == 0:
+            return t.append_column('simhash', pa.array([], pa.uint64()))
+        tokens = pc.utf8_split_whitespace(texts)
+        flat = pc.list_flatten(tokens)
+        tok_counts = pc.list_value_length(tokens).to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_ids = np.repeat(np.arange(d), tok_counts)
+        keep = pc.greater(pc.binary_length(flat), 0)
+        if not pc.all(keep).as_py():
+            mask = keep.to_numpy(zero_copy_only=False)
+            flat = flat.filter(keep)
+            doc_ids = doc_ids[mask]
+        enc = flat.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        uniq = enc.dictionary.to_pylist()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        M = np.stack([self._wordvec(w) for w in uniq]) if uniq else \
+            np.zeros((0, 64), np.int32)
+        # tokens arrive doc-ordered (np.repeat), so per-doc sums are one
+        # contiguous-segment reduceat over the gathered bit-vector rows
+        # (np.add.at scatter is ~5x slower: unbuffered ufunc)
+        acc = np.zeros((d, 64), dtype=np.int64)
+        cnt = np.bincount(doc_ids, minlength=d)
+        nz = np.flatnonzero(cnt)
+        if len(nz):
+            offs = np.concatenate(([0], np.cumsum(cnt)))
+            acc[nz] = np.add.reduceat(M[idx], offs[nz], axis=0)
+        bits = (acc > 0).astype(np.uint64)
+        hs = (bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+        return t.append_column('simhash', pa.array(hs, pa.uint64()))
 
 
 def simhash(ds: ray.data.Dataset, text_col: str = 'text', concurrency: int = 4) -> ray.data.Dataset:
