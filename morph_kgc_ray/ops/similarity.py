@@ -122,9 +122,12 @@ def _hash_sample(ds: ray.data.Dataset, id_col: str, vec_col: str,
         h = ((ids + s) * mult) & np.uint64(0xFFFFFFFF)
         return t.filter(pa.array(h < cutoff))
 
-    sampled = ds.map_batches(keep, batch_format='pyarrow') \
-                .select_columns([vec_col]).take_all()
-    V = np.asarray([r[vec_col] for r in sampled], dtype=np.float32)
+    chunks = [vectors_to_ndarray(b[vec_col], np.float32)
+              for b in ds.map_batches(keep, batch_format='pyarrow')
+                         .select_columns([vec_col])
+                         .iter_batches(batch_format='pyarrow', batch_size=None)
+              if b.num_rows]
+    V = np.concatenate(chunks) if chunks else np.zeros((0, 1), np.float32)
     return V[:max(n_sample, 1)]
 
 
