@@ -192,12 +192,8 @@ def read_source(rule, references: list[str], config: Config, python_source=None,
         ds = ray.data.from_pandas(pd.read_stata(rule['logical_source_value'], columns=references,
                                                 convert_dates=False, convert_categoricals=False,
                                                 preserve_dtypes=False))
-    elif source_type in ('XLSX', 'ODS'):
+    elif source_type in ('XLSX', 'ODS', 'XLS'):
         ds = _read_spreadsheet(rule, source_type)
-    elif source_type == 'XLS':
-        raise NotImplementedError(
-            'legacy binary .xls needs xlrd (not available in this environment); '
-            'convert to .xlsx (read natively here)')
     elif source_type in ('SAS7BDAT', 'XPT', 'SAV', 'ZSAV'):
         raise NotImplementedError(f'{source_type} sources need optional pandas IO dependencies')
     else:
@@ -207,13 +203,16 @@ def read_source(rule, references: list[str], config: Config, python_source=None,
 
 
 def _read_spreadsheet(rule, source_type: str) -> ray.data.Dataset:
-    """XLSX/ODS via the stdlib zip+XML parser (reference semantics:
+    """XLSX/ODS via the stdlib zip+XML parser, legacy .xls via the native
+    BIFF8/CFB parser in sources/xls.py (reference semantics:
     data_file.py:121-137 — first sheet, header row, dtype=str, no NA
     filtering).  One file per input row, parsed inside map_batches so a
     multi-file glob parallelizes per file."""
     from .spreadsheet import read_ods_rows, read_xlsx_rows, rows_to_table
+    from .xls import read_xls_rows
 
-    parse = read_xlsx_rows if source_type == 'XLSX' else read_ods_rows
+    parse = {'XLSX': read_xlsx_rows, 'ODS': read_ods_rows,
+             'XLS': read_xls_rows}[source_type]
 
     def kernel(batch: pd.DataFrame) -> pd.DataFrame:
         frames = []
