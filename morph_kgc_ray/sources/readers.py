@@ -194,8 +194,15 @@ def read_source(rule, references: list[str], config: Config, python_source=None,
                                                 preserve_dtypes=False))
     elif source_type in ('XLSX', 'ODS', 'XLS'):
         ds = _read_spreadsheet(rule, source_type)
-    elif source_type in ('SAS7BDAT', 'XPT', 'SAV', 'ZSAV'):
-        raise NotImplementedError(f'{source_type} sources need optional pandas IO dependencies')
+    elif source_type in ('SAS7BDAT', 'XPT'):
+        # pandas' native SAS reader — the exact call the reference makes
+        # (data_file.py:113-114); no pyreadstat needed
+        ds = _from_pandas_typed(
+            pd.read_sas(rule['logical_source_value'], encoding='utf-8'))
+    elif source_type in ('SAV', 'ZSAV'):
+        raise NotImplementedError(
+            'SPSS sources need pyreadstat (pd.read_spss backend), absent in '
+            'this environment — reference data_file.py:117-118')
     else:
         raise ValueError(f'Unsupported source type `{source_type}`.')
 
