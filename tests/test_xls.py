@@ -168,3 +168,53 @@ def test_xls_through_read_source(ray_session, tmp_path):
     df = df.sort_values('Num').reset_index(drop=True)
     assert sorted(df['Num']) == ['123.45', '30', '7']
     assert set(df['Name']) == {'Alpha', 'Second_' + 'y' * 40, 'cached!'}
+
+
+def test_xls_property_random_grids():
+    """Round-trip random grids through the spec-built writer: string cells
+    via SST, numeric via NUMBER records, across several shapes and SST
+    sizes (forcing multi-minisector streams)."""
+    import random
+    random.seed(42)
+    from morph_kgc_ray.sources.spreadsheet import _num_to_str
+
+    for trial in range(12):
+        n_rows = random.randint(1, 12)
+        n_cols = random.randint(1, 6)
+        grid = []
+        for r in range(n_rows):
+            row = []
+            for c in range(n_cols):
+                if random.random() < 0.5:
+                    row.append('s%d_%d_%s' % (r, c, 'x' * random.randint(0, 30)))
+                else:
+                    row.append(random.choice([0.5, 30.0, -17.25, 1e6, 3.25]))
+            grid.append(row)
+
+        # writer: every string through SST/LABELSST, every number via NUMBER
+        strings = sorted({v for row in grid for v in row if isinstance(v, str)})
+        sidx = {s: i for i, s in enumerate(strings)}
+        sst_payload = struct.pack('<ii', len(strings), len(strings)) \
+            + b''.join(_compressed(s) for s in strings)
+        bof_g = _rec(0x0809, struct.pack('<HHHHII', 0x0600, 0x0005, 0, 0, 1, 0x0600))
+        bof_s = _rec(0x0809, struct.pack('<HHHHII', 0x0600, 0x0010, 0, 0, 1, 0x0600))
+        eof = _rec(0x000A, b'')
+        cells = b''
+        for r, row in enumerate(grid):
+            for c, v in enumerate(row):
+                hdr = struct.pack('<HHH', r, c, 0)
+                if isinstance(v, str):
+                    cells += _rec(0x00FD, hdr + struct.pack('<I', sidx[v]))
+                else:
+                    cells += _rec(0x0203, hdr + struct.pack('<d', v))
+        sheet = bof_s + cells + eof
+        glb = bof_g + _rec(0x0085, struct.pack('<IBB', 0, 0, 0)) \
+            + _rec(0x00FC, sst_payload) + eof
+        glb = bof_g + _rec(0x0085, struct.pack('<IBB', len(glb), 0, 0)) \
+            + _rec(0x00FC, sst_payload) + eof
+        blob = build_cfb('Workbook', glb + sheet)
+
+        got = read_xls_rows(blob)
+        want = [[v if isinstance(v, str) else _num_to_str(repr(v)) for v in row]
+                for row in grid]
+        assert got == want, f'trial {trial}'
