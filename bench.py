@@ -157,10 +157,13 @@ def main() -> None:
 
     # best-of-2: this shared container's capacity swings +-50% minute to
     # minute (BASELINE.md round-3/4 host controls); a single sample measures
-    # the minute, best-of approximates the machine
+    # the minute, best-of approximates the machine.  The scaling harness
+    # (GRAFT_HEADLINE_ONLY) stays single-shot — its paired lo/hi runs handle
+    # the noise, and nesting best-of would double an already-long measurement
     headline_sec, n_triples = headline_once()
-    s2, _ = headline_once()
-    headline_sec = min(headline_sec, s2)
+    if not os.environ.get('GRAFT_HEADLINE_ONLY'):
+        s2, _ = headline_once()
+        headline_sec = min(headline_sec, s2)
 
     # ---- per-query timings over the sf dir ----
     per_query = {}
