@@ -47,18 +47,25 @@ def run_scaling() -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     def run_pairs(lo: int, hi: int, rounds: int = 2):
-        # paired lo/hi runs BACK-TO-BACK, best pair wins: this container's
-        # capacity swings +-50% minute to minute (see the host control +
-        # BASELINE.md round-3/4 notes), so two levels measured minutes apart
-        # compare different hosts; adjacent runs share a capacity window and
-        # the best pair estimates the true ratio
-        best = None
+        # paired lo/hi runs BACK-TO-BACK: this container's capacity swings
+        # +-50% minute to minute (see the host control + BASELINE.md
+        # round-3/4 notes), so two levels measured minutes apart compare
+        # different hosts; adjacent runs share a capacity window.  The
+        # headline efficiency uses MIN time per level across rounds (a
+        # bias-resistant estimator on a host whose noise is slowdown-only —
+        # max-of-pair-efficiencies would self-select favorable noise); the
+        # raw per-pair samples are all reported for transparency.
+        samples = []
+        best_lo = best_hi = None
         for _ in range(rounds):
             r_lo, r_hi = run_once(lo), run_once(hi)
-            eff = (r_lo['value'] / r_hi['value']) / (hi / lo)
-            if best is None or eff > best[0]:
-                best = (eff, r_lo, r_hi)
-        return best
+            samples.append(round((r_lo['value'] / r_hi['value']) / (hi / lo), 3))
+            if best_lo is None or r_lo['value'] < best_lo['value']:
+                best_lo = r_lo
+            if best_hi is None or r_hi['value'] < best_hi['value']:
+                best_hi = r_hi
+        eff = (best_lo['value'] / best_hi['value']) / (hi / lo)
+        return eff, best_lo, best_hi, samples
 
     # N and 4N; override via GRAFT_SCALING_LEVELS="2,8" to measure inside the
     # host's linear-frequency region (hosts with SMT / all-core turbo droop
@@ -70,7 +77,7 @@ def run_scaling() -> None:
     # fixed per-session costs (worker/aggregator startup) at both levels
     os.environ.setdefault('GRAFT_HEADLINE_ROWS', '600000')
     ctrl = _host_cpu_control(lo, hi)
-    eff, r_lo, r_hi = run_pairs(lo, hi)
+    eff, r_lo, r_hi, pair_samples = run_pairs(lo, hi)
     t_lo, t_hi = r_lo['value'], r_hi['value']
     print(json.dumps({
         'metric': 'headline wall-clock at two parallelism levels (cluster-size proxy)',
@@ -78,6 +85,7 @@ def run_scaling() -> None:
         f'triples_per_sec_{lo}': r_lo.get('triples_per_sec'),
         f'triples_per_sec_{hi}': r_hi.get('triples_per_sec'),
         'scaling_efficiency': round(eff, 3),
+        'pair_efficiency_samples': pair_samples,
         # the host's OWN lo->hi scaling on embarrassingly-parallel pure-CPU
         # work (zero shared state, no Ray): all-core turbo droop / SMT make
         # this < 1.0 on most hosts, and no pipeline can beat it — divide the

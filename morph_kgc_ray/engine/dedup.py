@@ -74,53 +74,90 @@ def _ray_cpus(default: int = 8) -> int:
     return os.cpu_count() or default
 
 
-def distinct_in_place(ds: ray.data.Dataset, cols: list[str],
-                      local_first: bool = True,
-                      driver_dup_cap: int = 2_000_000) -> ray.data.Dataset:
-    """Exact distinct that never shuffles the payload.
+class _HashBucketState:
+    """Tiny zero-CPU reducer for the OVERLAPPED hash exchange: producer
+    tasks push their (h1, h2) hash rows here keyed by a retry-stable block
+    id WHILE the payload pass is still running, so by the time the payload
+    finishes materializing the exchange has already happened — no second
+    barrier, no hash-shuffle aggregator spin-up (which measured 11-24 s of
+    fixed cost at bench scale and ANTI-scaled 8->32 CPUs).
 
-    1. per block: local distinct + two 64-bit row hashes (h1,h2) + a unique
-       block id — then materialize (payload stays where it is);
-    2. exchange ONLY (h1,h2,block) — 20 bytes/row instead of the full row —
-       and group it to find hashes present in >1 block and their winner
-       (min block id);
-    3. broadcast the (small) cross-block-duplicate map and filter each block
-       locally: keep a row unless its hash lost to another block.
+    Idempotence: parts are stored per block id in a dict, so a retried or
+    speculatively re-executed producer task REPLACES its prior submission
+    instead of double-counting.  ``total_received()`` lets the driver verify
+    every payload row's hash arrived (a reducer that died and silently
+    restarted empty would fail that check and the caller reroutes through
+    the pull-based exchange)."""
 
-    Scales with the DUPLICATE volume, not the data volume: the wide columns
-    cross the wire zero times.  The cross-block-duplicate map is COUNTED in
-    the data plane first; above ``driver_dup_cap`` (where the driver dict
-    would be the bottleneck — e.g. a 10% dup rate at 100 TB) the already-
-    materialized payload reroutes through the bucket-keyed ``distinct``
-    exchange instead, automatically — one payload shuffle, no driver
-    state."""
-    import uuid
+    def __init__(self):
+        self.parts: dict[int, tuple] = {}
 
+    def add(self, bid: int, h1, h2) -> int:
+        self.parts[bid] = (h1, h2)
+        return len(h1)
+
+    def total_received(self) -> int:
+        return sum(len(h1) for h1, _ in self.parts.values())
+
+    def clear(self) -> None:
+        """Free the hash state once winners were read (the actor itself
+        stays alive so a lost payload block's lineage re-execution — whose
+        prep() would push to it again — doesn't fail; the handle refcount
+        reaps the actor when the result dataset is garbage-collected)."""
+        self.parts = {}
+
+    def winners(self):
+        """(h1, h2, winner_bid) numpy arrays for hashes seen in >1 block.
+
+        Two-stage: a value-only ``np.sort`` over h1 finds candidate
+        duplicate h1 values (cheap — no permutation gathers), then the full
+        (h1, h2, bid) group logic runs on just those rows.  On mostly-unique
+        corpora (the normal web-crawl case) this is ~4x the full lexsort."""
+        import numpy as np
+        z = np.array([], dtype=np.uint64)
+        if not self.parts:
+            return z, z, np.array([], dtype=np.int64)
+        h1 = np.concatenate([p[0] for p in self.parts.values()])
+        s = np.sort(h1)
+        dup_vals = s[1:][s[1:] == s[:-1]]  # h1 values appearing >1 time
+        if not len(dup_vals):
+            return z, z, np.array([], dtype=np.int64)
+        dup_vals = np.unique(dup_vals)
+        h2 = np.concatenate([p[1] for p in self.parts.values()])
+        bid = np.concatenate([np.full(len(p[0]), b, dtype=np.int64)
+                              for b, p in self.parts.items()])
+        m = np.isin(h1, dup_vals)
+        h1, h2, bid = h1[m], h2[m], bid[m]
+        order = np.lexsort((h2, h1))
+        h1, h2, bid = h1[order], h2[order], bid[order]
+        new_grp = np.empty(len(h1), dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        starts = np.nonzero(new_grp)[0]
+        counts = np.diff(np.append(starts, len(h1)))
+        mins = np.minimum.reduceat(bid, starts)
+        dup = counts > 1
+        return h1[starts][dup], h2[starts][dup], mins[dup]
+
+
+# actor form (zero CPUs: reducers must never take slots from the producer
+# stage they overlap with); plain-class form above stays unit-testable
+_HashBucketReducer = ray.remote(num_cpus=0)(_HashBucketState)
+
+# per-worker-process counter disambiguating multiple prep() calls inside one
+# fused task (call order within a task is deterministic, so (task, seq) is
+# retry-stable); entries are ~100 bytes per producer task
+_PREP_CALL_SEQ: dict = {}
+
+
+def _pull_exchange_winners(mat: ray.data.Dataset):
+    """Pull-based fallback: bucket the (h1,h2,bid) columns of the already-
+    materialized payload and aggregate per bucket with Ray Data's hash
+    shuffle.  Correct at any scale but pays the aggregator-actor spin-up;
+    only used when the overlapped push exchange could not be verified."""
     import numpy as np
     import pandas as pd
 
-    cols = list(cols)
-    ensure_hash_shuffle()
-
-    def prep(t: pa.Table) -> pa.Table:
-        from .kernels import table_distinct
-        import polars as pl
-        t = t.select(cols)
-        if local_first:  # skip when the producer already emits block-distinct batches
-            t = table_distinct(t)
-        h1 = pl.from_arrow(t).hash_rows(seed=11).to_numpy().astype('uint64')
-        h2 = pl.from_arrow(t).hash_rows(seed=13).to_numpy().astype('uint64')
-        bid = uuid.uuid4().int & ((1 << 63) - 1)  # unique per batch; not part of output
-        t = t.append_column('__h1', pa.array(h1))
-        t = t.append_column('__h2', pa.array(h2))
-        return t.append_column('__bid', pa.array(np.full(t.num_rows, bid, dtype=np.int64)))
-
-    mat = ds.map_batches(prep, batch_format='pyarrow', batch_size=None).materialize()
-
-    # find cross-block duplicate hashes: bucket the (20-byte) hash rows by
-    # h1, aggregate per bucket with pandas (many tiny groups — a per-bucket
-    # vectorized groupby beats a global per-group aggregate by orders of
-    # magnitude), emit only losers' hashes (small)
     buckets = max(8, _ray_cpus() * 2)
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -133,11 +170,114 @@ def distinct_in_place(ds: ray.data.Dataset, cols: list[str],
         dup = dup.rename(columns={'min': 'winner'})
         return dup[['__h1', '__h2', 'winner']]
 
-    dup_ds = mat.select_columns(['__h1', '__h2', '__bid']) \
+    dup_pd = mat.select_columns(['__h1', '__h2', '__bid']) \
                 .map_batches(add_bucket, batch_format='pyarrow') \
                 .groupby('__bucket').map_groups(winners_in_bucket, batch_format='pandas') \
-                .materialize()
-    if dup_ds.count() > driver_dup_cap:
+                .to_pandas()
+    if '__h1' not in dup_pd.columns:  # empty results lose their schema
+        dup_pd = pd.DataFrame({'__h1': [], '__h2': [], 'winner': []})
+    return (np.asarray(dup_pd['__h1'], dtype=np.uint64),
+            np.asarray(dup_pd['__h2'], dtype=np.uint64),
+            np.asarray(dup_pd['winner'], dtype=np.int64))
+
+
+def distinct_in_place(ds: ray.data.Dataset, cols: list[str],
+                      local_first: bool = True,
+                      driver_dup_cap: int = 2_000_000,
+                      num_buckets: 'int | None' = None) -> ray.data.Dataset:
+    """Exact distinct that never shuffles the payload.
+
+    1. per block: local distinct + two 64-bit row hashes (h1,h2) + a
+       retry-stable block id; the (h1,h2) rows are PUSHED to ``num_buckets``
+       zero-CPU reducer actors (bucketed by h1) while the payload pass runs
+       — the hash exchange fully OVERLAPS payload production, then the
+       payload materializes in place;
+    2. the reducers compute hashes present in >1 block and their winner
+       (min block id) — a few ms of numpy each, no second barrier;
+    3. broadcast the (small) cross-block-duplicate map and filter each block
+       locally: keep a row unless its hash lost to another block.
+
+    Scales with the DUPLICATE volume, not the data volume: the wide columns
+    cross the wire zero times, and the 16-byte hash rows move concurrently
+    with the pass that produces them.  Safety rails, in order:
+    - the driver verifies the reducers received exactly one hash row per
+      payload row (a reducer lost+restarted mid-run would under-count);
+      on mismatch the already-materialized payload re-derives winners via
+      the pull-based hash-shuffle exchange (``_pull_exchange_winners``);
+    - above ``driver_dup_cap`` cross-block duplicates (where the broadcast
+      winner map would bottleneck the driver — e.g. a 10% dup rate at
+      100 TB) the payload reroutes through the bucket-keyed ``distinct``
+      exchange instead, automatically — one payload shuffle, no driver
+      state.
+
+    100-TB sizing: ``num_buckets`` reducers each hold (total_rows x 16 B) /
+    num_buckets of hash state and receive one push per producer block — on a
+    real cluster set it ~ (hash volume / 256 MB) and spread actors across
+    nodes; the default tracks the CPU count."""
+    import numpy as np
+
+    cols = list(cols)
+    ensure_hash_shuffle()
+    nbuckets = num_buckets or max(2, min(32, _ray_cpus() // 4))
+    reducers = [_HashBucketReducer.remote() for _ in range(nbuckets)]
+    # fire-and-forget ping: spawns the reducer worker processes NOW, so
+    # their startup overlaps the producer's read/extract warm-up instead of
+    # stalling the first wave of prep() acks (~1.5 s measured at 32 CPUs)
+    for r in reducers:
+        r.total_received.remote()
+
+    def prep(t: pa.Table) -> pa.Table:
+        from .kernels import table_distinct
+        import polars as pl
+        t = t.select(cols)
+        if local_first:  # skip when the producer already emits block-distinct batches
+            t = table_distinct(t)
+        h1 = pl.from_arrow(t).hash_rows(seed=11).to_numpy().astype('uint64')
+        h2 = pl.from_arrow(t).hash_rows(seed=13).to_numpy().astype('uint64')
+        # retry-stable block id: Ray keeps the TaskID across retries of the
+        # same task, so a re-executed producer REPLACES its reducer parts
+        # instead of faking a cross-block duplicate of itself (which would
+        # silently drop the retried payload).  The per-task call counter
+        # disambiguates multiple batches inside one fused task (the call
+        # order within a task is deterministic).
+        import hashlib as _hl
+        tid = ray.get_runtime_context().get_task_id() or 'driver'
+        seq = _PREP_CALL_SEQ.get(tid, 0)
+        _PREP_CALL_SEQ[tid] = seq + 1
+        bid = int.from_bytes(_hl.blake2b(f'{tid}:{seq}'.encode(),
+                                         digest_size=8).digest(), 'big') & ((1 << 63) - 1)
+        if t.num_rows:
+            b = (h1 % np.uint64(nbuckets)).astype(np.int64)
+            acks = []
+            for k in np.unique(b):
+                m = b == k
+                acks.append(reducers[int(k)].add.remote(int(bid), h1[m], h2[m]))
+            ray.get(acks)  # delivery completes before the task output commits
+        t = t.append_column('__h1', pa.array(h1))
+        t = t.append_column('__h2', pa.array(h2))
+        return t.append_column('__bid', pa.array(np.full(t.num_rows, bid, dtype=np.int64)))
+
+    mat = ds.map_batches(prep, batch_format='pyarrow', batch_size=None).materialize()
+
+    # the hash exchange already happened during the pass above; verify
+    # delivery, then pull the (tiny) winner sets straight from the reducers
+    received = sum(ray.get([r.total_received.remote() for r in reducers]))
+    if received == mat.count():
+        wins = ray.get([r.winners.remote() for r in reducers])
+        dup_h1 = np.concatenate([w[0] for w in wins])
+        dup_h2 = np.concatenate([w[1] for w in wins])
+        dup_win = np.concatenate([w[2] for w in wins])
+    else:
+        import logging
+        logging.getLogger(__name__).warning(
+            'distinct_in_place: push exchange received %d hash rows for %d '
+            'payload rows (a reducer restarted?); re-deriving winners via '
+            'the pull-based exchange', received, mat.count())
+        dup_h1, dup_h2, dup_win = _pull_exchange_winners(mat)
+    for r in reducers:
+        r.clear.remote()
+
+    if len(dup_h1) > driver_dup_cap:
         # duplicate volume too large for a driver-side map: reroute the
         # materialized payload through the keyed-exchange distinct (rows are
         # already block-locally distinct, skip that pass)
@@ -145,19 +285,14 @@ def distinct_in_place(ds: ray.data.Dataset, cols: list[str],
         logging.getLogger(__name__).info(
             'distinct_in_place: %d cross-block duplicate hashes exceed the '
             'driver map cap (%d); falling back to the keyed-exchange distinct',
-            dup_ds.count(), driver_dup_cap)
+            len(dup_h1), driver_dup_cap)
         payload = mat.map_batches(
             lambda t: t.drop_columns(['__h1', '__h2', '__bid']),
             batch_format='pyarrow')
         return distinct(payload, cols, local_first=False)
-    dup_pd = dup_ds.to_pandas()
-    if '__h1' not in dup_pd.columns:  # empty results lose their schema
-        dup_pd = pd.DataFrame({'__h1': [], '__h2': [], 'winner': []})
     winners = {(int(a), int(b)): int(w)
-               for a, b, w in zip(dup_pd['__h1'], dup_pd['__h2'], dup_pd['winner'])}
+               for a, b, w in zip(dup_h1, dup_h2, dup_win)}
     ref = ray.put(winners)
-
-    dup_h1 = np.asarray(dup_pd['__h1'], dtype=np.uint64)
 
     def keep(t: pa.Table) -> pa.Table:
         wmap = ray.get(ref)

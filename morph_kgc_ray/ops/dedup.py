@@ -160,7 +160,7 @@ class MinHashKernel:
         self.text_col = text_col
 
     def shingle_hashes(self, texts: 'pa.Array') -> 'tuple[np.ndarray, np.ndarray]':
-        """(flat 32-bit-masked window hashes, windows per doc)."""
+        """(flat full-64-bit rolling window hashes, windows per doc)."""
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
         texts = pc.fill_null(texts, '')

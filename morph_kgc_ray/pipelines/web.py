@@ -75,28 +75,30 @@ class TripleEmitKernel:
         else:
             gaz = ray.get(gazetteer_ref)
         # Mention scan plan (generic over any alias->IRI gazetteer):
-        # 1. single-token aliases (\w+ surface forms) detect via ONE \W+
-        #    tokenization pass + a hash join of tokens against the alias
-        #    table — token == alias is exactly \b alias \b (a token is a
-        #    maximal \w+ run);
+        # 1. ASCII single-token aliases ([A-Za-z0-9_]+ surface forms) detect
+        #    via ONE \W+ tokenization pass + a hash join of tokens against
+        #    the alias table — token == alias is exactly \b alias \b (a
+        #    token is a maximal \w+ run).  ASCII-only on purpose: Arrow/RE2's
+        #    \W+ splits on non-ASCII letters ('Müller' -> 'M','ller'), so a
+        #    Unicode alias would never equal a token — those stay on path 3;
         # 2. multi-word aliases whose text match IMPLIES a single-token
         #    alias of the same entity ('Acme001 Inc' contains token
         #    'Acme001') are subsumed — no extra work;
-        # 3. only non-subsumed multi-word aliases keep a per-entity re2
-        #    alternation pass (none in the default gazetteer).
+        # 3. non-subsumed multi-word AND non-ASCII aliases keep a per-entity
+        #    re2 alternation pass (none in the default gazetteer).
         by_iri: dict[str, list[str]] = {}
         for alias, iri in gaz.items():
             by_iri.setdefault(iri, []).append(alias)
         token_alias, token_iri = [], []
         self.iri_patterns = []
         for iri, aliases in sorted(by_iri.items()):
-            singles = [a for a in aliases if re.fullmatch(r'\w+', a)]
+            singles = [a for a in aliases if re.fullmatch(r'[A-Za-z0-9_]+', a)]
             for a in singles:
                 token_alias.append(a)
                 token_iri.append(iri)
             rest = [a for a in aliases
-                    if not re.fullmatch(r'\w+', a)
-                    and not any(re.search(rf'\b{re.escape(s)}\b', a) for s in singles)]
+                    if a not in singles
+                    and not any(re.search(rf'\b{re.escape(s)}\b', a, re.ASCII) for s in singles)]
             if rest:
                 self.iri_patterns.append(
                     (iri, r'\b(?:' + '|'.join(re.escape(a) for a in sorted(rest, key=len, reverse=True)) + r')\b'))

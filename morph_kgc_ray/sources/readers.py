@@ -200,9 +200,13 @@ def read_source(rule, references: list[str], config: Config, python_source=None,
         ds = _from_pandas_typed(
             pd.read_sas(rule['logical_source_value'], encoding='utf-8'))
     elif source_type in ('SAV', 'ZSAV'):
-        raise NotImplementedError(
-            'SPSS sources need pyreadstat (pd.read_spss backend), absent in '
-            'this environment — reference data_file.py:117-118')
+        # native system-file parser (sources/sav.py) replicating the
+        # reference's pd.read_spss(usecols=references,
+        # convert_categoricals=False) shape — data_file.py:117-118; no
+        # pyreadstat in this environment
+        from .sav import read_sav
+        ds = _from_pandas_typed(read_sav(rule['logical_source_value'],
+                                         usecols=references))
     else:
         raise ValueError(f'Unsupported source type `{source_type}`.')
 

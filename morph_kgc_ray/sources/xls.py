@@ -217,11 +217,21 @@ class _SstReader:
 
 
 def _short_string(data: bytes, off: int) -> str:
-    """XLUnicodeString (16-bit length) at off — used by LABEL/STRING."""
+    """XLUnicodeString (16-bit length) at off — used by LABEL/STRING.
+
+    Honors the optional-field flags like _SstReader.read_string: rich-text
+    (0x08) prepends a 2-byte run count and ExtRst (0x04) a 4-byte extension
+    length BEFORE the character data; skipping them keeps a formatted LABEL
+    from consuming its run count as characters."""
     cch, flags = struct.unpack_from('<HB', data, off)
+    pos = off + 3
+    if flags & 0x08:  # cRun (rich-text formatting runs follow the chars)
+        pos += 2
+    if flags & 0x04:  # cbExtRst (phonetic extension follows the chars)
+        pos += 4
     if flags & 0x01:
-        return data[off + 3:off + 3 + 2 * cch].decode('utf-16-le')
-    return data[off + 3:off + 3 + cch].decode('latin-1')
+        return data[pos:pos + 2 * cch].decode('utf-16-le')
+    return data[pos:pos + cch].decode('latin-1')
 
 
 def read_xls_rows(data: bytes) -> list[list[str]]:
@@ -306,10 +316,15 @@ def read_xls_rows(data: bytes) -> list[list[str]]:
 
     if not cells:
         return []
-    max_row = max(r for r, _ in cells)
+    # bucket cells by row in ONE pass (a per-row rescan of the whole cells
+    # dict is O(rows x total_cells) — minutes on a full 65536-row sheet)
+    rows_map: dict[int, dict[int, str]] = {}
+    for (r, c), v in cells.items():
+        rows_map.setdefault(r, {})[c] = v
+    max_row = max(rows_map)
     rows: list[list[str]] = []
     for r in range(max_row + 1):
-        row_cells = {c: v for (rr, c), v in cells.items() if rr == r}
+        row_cells = rows_map.get(r, {})
         width = max(row_cells) + 1 if row_cells else 0
         rows.append([row_cells.get(i, '') for i in range(width)])
     while rows and not rows[0]:

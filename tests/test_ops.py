@@ -66,6 +66,41 @@ def test_distinct_in_place_fallback_above_dup_cap(ray_session):
         assert len(out.drop_duplicates()) == 40
 
 
+def test_hash_bucket_state_winners_and_idempotent_retry():
+    """Plain-class check of the overlapped-exchange reducer: cross-block
+    duplicates win by min block id, within-block rows don't count as dups,
+    and a retried producer REPLACES its prior submission."""
+    from morph_kgc_ray.engine.dedup import _HashBucketState
+    s = _HashBucketState()
+    s.add(7, np.array([1, 2], dtype=np.uint64), np.array([10, 20], dtype=np.uint64))
+    s.add(3, np.array([2, 5], dtype=np.uint64), np.array([20, 50], dtype=np.uint64))
+    # same h1 but different h2 — NOT a duplicate pair
+    s.add(9, np.array([1], dtype=np.uint64), np.array([99], dtype=np.uint64))
+    h1, h2, win = s.winners()
+    assert list(h1) == [2] and list(h2) == [20] and list(win) == [3]
+    assert s.total_received() == 5
+    # retry of block 9 replaces, never double-counts
+    s.add(9, np.array([1], dtype=np.uint64), np.array([99], dtype=np.uint64))
+    assert s.total_received() == 5
+    s.clear()
+    assert s.total_received() == 0
+
+
+def test_pull_exchange_winners_matches_push(ray_session):
+    """The pull-based fallback (used when push delivery can't be verified)
+    must find the same cross-block winners as the reducer state."""
+    import ray.data as rd
+    from morph_kgc_ray.engine.dedup import _pull_exchange_winners
+    rows = ([{'__h1': 2, '__h2': 20, '__bid': 7}, {'__h1': 1, '__h2': 10, '__bid': 7}]
+            + [{'__h1': 2, '__h2': 20, '__bid': 3}, {'__h1': 5, '__h2': 50, '__bid': 3}])
+    mat = rd.from_items(rows).repartition(2).map_batches(
+        lambda t: t.select(['__h1', '__h2', '__bid']).cast(
+            pa.schema([('__h1', pa.uint64()), ('__h2', pa.uint64()), ('__bid', pa.int64())])),
+        batch_format='pyarrow').materialize()
+    h1, h2, win = _pull_exchange_winners(mat)
+    assert list(h1) == [2] and list(h2) == [20] and list(win) == [3]
+
+
 def test_min_label_clusters_distributed_converges(ray_session):
     """Same 6-node chain, but forced through the DISTRIBUTED convergence
     loop (driver_edge_cap=0 disables the union-find fast path)."""

@@ -89,10 +89,5 @@ def test_xpt_through_read_source(ray_session, tmp_path):
     assert list(df['Name']) == ['Venus', 'Demi']
 
 
-def test_spss_still_clearly_gated(ray_session, tmp_path):
-    from morph_kgc_ray.config import Config
-    from morph_kgc_ray.sources.readers import read_source
-    rule = {'source_type': 'SAV', 'logical_source_value': str(tmp_path / 'x.sav'),
-            'logical_source_type': None}
-    with pytest.raises(NotImplementedError, match='pyreadstat'):
-        read_source(rule, ['a'], Config({'DS': {'mappings': '/dev/null'}}))
+# SPSS is no longer gated: sources/sav.py parses the .sav/.zsav system-file
+# format natively (spec-built fixtures + dispatch test in tests/test_sav.py).
