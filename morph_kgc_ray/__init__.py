@@ -56,13 +56,15 @@ from .engine.materializer import materialize_dataset, materialize_set, materiali
 
 
 class _KafkaBatchSink:
-    """map_batches sink: one KafkaProducer per worker process (created in
-    __init__, reused across batches), one message per batch.  The driver
-    only aggregates the tiny count rows — triples never funnel through it."""
+    """Publishing sink: one producer per worker process (constructed once,
+    reused across batches), one message per batch.  The driver only
+    aggregates the tiny count rows — triples never funnel through it."""
 
-    def __init__(self, topic: str, kafka_kwargs: dict):
-        from kafka import KafkaProducer  # optional dependency, like the reference
-        self.producer = KafkaProducer(**kafka_kwargs)
+    def __init__(self, topic: str, kafka_kwargs: dict, producer_factory=None):
+        if producer_factory is None:  # optional dependency, like the reference
+            from kafka import KafkaProducer
+            producer_factory = KafkaProducer
+        self.producer = producer_factory(**kafka_kwargs)
         self.topic = topic
 
     def __call__(self, batch):
@@ -76,19 +78,45 @@ class _KafkaBatchSink:
         return pa.table({'rows': pa.array([batch.num_rows], pa.int64())})
 
 
-def materialize_kafka(config, python_source=None, **kafka_kwargs):
+_KAFKA_SINK_CACHE: dict = {}
+
+
+def _kafka_sink_fn(topic: str, kafka_kwargs: dict, producer_factory):
+    """Task-form wrapper with a per-worker-process sink cache: the producer
+    amortizes like an actor pool's, but the stage stays a TASK so it fuses
+    with the materialization pipeline and can never starve upstream stages
+    of CPU slots (an actor pool sized near the session CPU count deadlocks
+    small sessions — the documented Ray Data actor-pool gotcha)."""
+    key = (topic, repr(sorted(kafka_kwargs.items())),
+           getattr(producer_factory, '__qualname__', repr(producer_factory)))
+
+    def fn(batch):
+        sink = _KAFKA_SINK_CACHE.get(key)
+        if sink is None:
+            sink = _KafkaBatchSink(topic, kafka_kwargs, producer_factory)
+            _KAFKA_SINK_CACHE[key] = sink
+        return sink(batch)
+    return fn
+
+
+def materialize_kafka(config, python_source=None, producer_factory=None,
+                      **kafka_kwargs):
     """Stream the materialized triples to Kafka (reference API parity:
     __init__.py:86-114) with per-worker producers inside ``map_batches`` —
     each task publishes its own blocks, so the sink is as parallel as the
-    pipeline."""
-    try:
-        import kafka  # noqa: F401  (optional dependency, like the reference)
-    except ImportError as e:  # pragma: no cover - kafka not in this container
-        raise NotImplementedError('materialize_kafka requires kafka-python') from e
+    pipeline.  ``producer_factory`` (a picklable callable returning a
+    KafkaProducer-shaped object with ``send(topic, bytes)`` / ``flush()``)
+    overrides the kafka-python default — the dependency-injection seam the
+    tests use, mirroring the PGDB driver-factory pattern."""
+    if producer_factory is None:
+        try:
+            import kafka  # noqa: F401  (optional dependency, like the reference)
+        except ImportError as e:  # pragma: no cover - kafka not in this container
+            raise NotImplementedError('materialize_kafka requires kafka-python') from e
     topic = kafka_kwargs.pop('topic', 'triples')
     counts = materialize_dataset(config, python_source).map_batches(
-        _KafkaBatchSink, fn_constructor_args=(topic, kafka_kwargs),
-        batch_format='pyarrow', batch_size=65536, concurrency=(1, 4)).take_all()
+        _kafka_sink_fn(topic, kafka_kwargs, producer_factory),
+        batch_format='pyarrow', batch_size=65536).take_all()
     return sum(r['rows'] for r in counts)
 
 

@@ -206,50 +206,73 @@ class _PartitionedShardWriter:
                          'rows': pa.array(out_rows, pa.int64())})
 
 
+def _write_one_partition(f: pafs.FileSystem, root: str, pid, ds,
+                         resume: bool, atomic: bool) -> dict:
+    """Write one mapping-partition Dataset into ``part=<pid>/`` and commit
+    its manifest.  Shares no state with other partitions (distinct staging
+    dirs, distinct manifests), so callers may run many of these
+    concurrently."""
+    pdir = posixpath.join(root, f'part={_sanitize(pid)}')
+    manifest_path = posixpath.join(pdir, '_MANIFEST.json')
+    if resume and _exists(f, manifest_path):
+        manifest = _read_json(f, manifest_path)
+        return {'rows': manifest['rows'], 'skipped': True}
+    if atomic:
+        stage = pdir + '.tmp'
+        _delete_dir(f, stage)
+        _delete_dir(f, pdir)
+    else:
+        # object store: no rename — stage IS the final prefix; clear any
+        # incomplete previous attempt (no manifest == incomplete)
+        stage = pdir
+        _delete_dir(f, pdir)
+    f.create_dir(stage, recursive=True)
+
+    # task-side writes; only (partition, shard, rows) rows reach the driver
+    counts = ds.map_batches(_TripleShardWriter(f, stage, pid),
+                            batch_format='pyarrow').take_all()
+    rows = sum(r['rows'] for r in counts)
+    shards = sorted(r['shard'] for r in counts)
+    f.create_dir(stage, recursive=True)  # 0-block datasets never created it
+    _prune_unlisted(f, stage, set(shards))
+    _write_json(f, posixpath.join(stage, '_MANIFEST.json'),
+                {'partition': pid, 'rows': rows, 'shards': shards})
+    if atomic:
+        f.move(stage, pdir)
+    return {'rows': rows, 'skipped': False}
+
+
 def write_partitioned_ntriples(partitions: dict, out_dir: str, resume: bool = True,
-                               filesystem: 'pafs.FileSystem | None' = None) -> dict:
+                               filesystem: 'pafs.FileSystem | None' = None,
+                               max_concurrent: int = 4) -> dict:
     """Write each mapping-partition Dataset as ``<triple> .`` lines, one shard
     file per block, written inside the tasks that hold the blocks.
+
+    The per-partition pipelines share no state (disjoint staging dirs and
+    manifests — the partitioner's disjointness theorem), so up to
+    ``max_concurrent`` of them execute CONCURRENTLY from driver threads;
+    each Dataset execution has its own streaming executor and they share
+    the cluster's resources, so a mapping with many small partitions no
+    longer serializes its output phase on per-execution fixed costs.
 
     ``out_dir`` may be a local path or a filesystem URI; pass ``filesystem``
     to supply an explicit ``pyarrow.fs.FileSystem`` for plain paths.
 
     Returns {partition_id: {'rows': n, 'skipped': bool}}."""
+    from concurrent.futures import ThreadPoolExecutor
+
     f, root = resolve_filesystem(out_dir, filesystem)
     f.create_dir(root, recursive=True)
     atomic = _atomic_rename(f)
-    report = {}
-    for pid, ds in partitions.items():
-        pdir = posixpath.join(root, f'part={_sanitize(pid)}')
-        manifest_path = posixpath.join(pdir, '_MANIFEST.json')
-        if resume and _exists(f, manifest_path):
-            manifest = _read_json(f, manifest_path)
-            report[pid] = {'rows': manifest['rows'], 'skipped': True}
-            continue
-        if atomic:
-            stage = pdir + '.tmp'
-            _delete_dir(f, stage)
-            _delete_dir(f, pdir)
-        else:
-            # object store: no rename — stage IS the final prefix; clear any
-            # incomplete previous attempt (no manifest == incomplete)
-            stage = pdir
-            _delete_dir(f, pdir)
-        f.create_dir(stage, recursive=True)
-
-        # task-side writes; only (partition, shard, rows) rows reach the driver
-        counts = ds.map_batches(_TripleShardWriter(f, stage, pid),
-                                batch_format='pyarrow').take_all()
-        rows = sum(r['rows'] for r in counts)
-        shards = sorted(r['shard'] for r in counts)
-        f.create_dir(stage, recursive=True)  # 0-block datasets never created it
-        _prune_unlisted(f, stage, set(shards))
-        _write_json(f, posixpath.join(stage, '_MANIFEST.json'),
-                    {'partition': pid, 'rows': rows, 'shards': shards})
-        if atomic:
-            f.move(stage, pdir)
-        report[pid] = {'rows': rows, 'skipped': False}
-    return report
+    items = list(partitions.items())
+    if len(items) <= 1 or max_concurrent <= 1:
+        return {pid: _write_one_partition(f, root, pid, ds, resume, atomic)
+                for pid, ds in items}
+    with ThreadPoolExecutor(max_workers=min(max_concurrent, len(items))) as pool:
+        futures = {pid: pool.submit(_write_one_partition, f, root, pid, ds,
+                                    resume, atomic)
+                   for pid, ds in items}
+        return {pid: fut.result() for pid, fut in futures.items()}
 
 
 def write_partition_column_ntriples(triples, out_dir: str, resume: bool = True,

@@ -225,15 +225,14 @@ def _read_spreadsheet(rule, source_type: str) -> ray.data.Dataset:
     parse = {'XLSX': read_xlsx_rows, 'ODS': read_ods_rows,
              'XLS': read_xls_rows}[source_type]
 
-    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for blob in batch['bytes']:
-            t = rows_to_table(parse(bytes(blob)))
-            frames.append(t.to_pandas())
-        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+    def kernel(batch: pa.Table) -> pa.Table:
+        blobs, _ = _blob_batch(batch)
+        tables = [rows_to_table(parse(bytes(blob))) for blob in blobs]
+        return pa.concat_tables(tables, promote_options='default') if tables \
+            else pa.table({})
 
     ds = ray.data.read_binary_files(_expand_source_paths(rule['logical_source_value']))
-    return ds.map_batches(kernel, batch_format='pandas')
+    return ds.map_batches(kernel, batch_format='pyarrow')
 
 
 def _read_csv(rule, references, source_type) -> ray.data.Dataset:
@@ -469,13 +468,14 @@ class JsonIteratorKernel:
             return out, seen_cols, any_records
         return out
 
-    def seen_info(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def seen_info(self, batch) -> pa.Table:
         """Per-batch reference-visibility rows for the source-level strict
         check: one row per reference seen in these files, plus an
         ``__any_records__`` marker row when any record existed."""
         seen: set = set()
         any_records = False
-        for blob in batch['bytes']:
+        blobs, _ = _blob_batch(batch)
+        for blob in blobs:
             data = json.loads(blob.decode('utf-8') if isinstance(blob, (bytes, bytearray)) else blob)
             _, s, a = self.iterate_object(data, null_ok_refs=self.null_ok_refs,
                                           return_info=True)
@@ -484,11 +484,11 @@ class JsonIteratorKernel:
         names = sorted(seen) + (['__any_records__'] if any_records else [])
         return pa.table({'name': pa.array(names, pa.string())})
 
-    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+    def __call__(self, batch) -> pa.Table:
         import hashlib
         frames = []
-        paths = batch['path'] if 'path' in batch.columns else [None] * len(batch['bytes'])
-        for blob, path in zip(batch['bytes'], paths):
+        blobs, paths = _blob_batch(batch)
+        for blob, path in zip(blobs, paths):
             data = json.loads(blob.decode('utf-8') if isinstance(blob, (bytes, bytearray)) else blob)
             f = self.iterate_object(data, with_record_ids=self.with_record_ids,
                                     null_ok_refs=self.null_ok_refs, return_info=True)[0]
@@ -522,6 +522,21 @@ class JsonIteratorKernel:
         return pa.table(cols)
 
 
+def _blob_batch(batch) -> 'tuple[list, list]':
+    """(blobs, paths) from a ``read_binary_files`` batch in either Arrow or
+    pandas form.  Arrow is the preferred path — the bytes stay in the
+    Arrow binary buffer until this call instead of being boxed into an
+    object-dtype pandas column by the batch conversion."""
+    if isinstance(batch, pa.Table):
+        blobs = batch['bytes'].to_pylist()
+        paths = batch['path'].to_pylist() if 'path' in batch.column_names \
+            else [None] * len(blobs)
+    else:
+        blobs = list(batch['bytes'])
+        paths = list(batch['path']) if 'path' in batch.columns else [None] * len(blobs)
+    return blobs, paths
+
+
 def _expand_source_paths(path: str) -> 'str | list[str]':
     """``ray.data.read_binary_files`` takes concrete paths, not glob
     patterns — expand wildcards here (sorted for deterministic file order;
@@ -544,7 +559,7 @@ def _validate_strict_refs(path: str, kernel, references, null_ok_refs=(),
     ``strict_undefined_references`` is enabled (a conformance-semantics
     flag; scale pipelines leave it off)."""
     info = ray.data.read_binary_files(_expand_source_paths(path)) \
-        .map_batches(kernel.seen_info, batch_format='pandas').to_pandas()
+        .map_batches(kernel.seen_info, batch_format='pyarrow').to_pandas()
     names = set(info['name']) if len(info) else set()
     if '__any_records__' not in names:
         return  # no records at all: rules generate nothing, not an error
@@ -567,7 +582,7 @@ def _read_json(rule, references, na_values, keep_order: bool = False,
     # include_paths so record ids can be namespaced per file (multi-file glob
     # sources must not share __record ids across files)
     ds = ray.data.read_binary_files(_expand_source_paths(path), include_paths=keep_order)
-    ds = ds.map_batches(kernel.__call__, batch_format='pandas')
+    ds = ds.map_batches(kernel.__call__, batch_format='pyarrow')
     return ds.map_batches(_prologue_fn(references, na_values, keep_order=keep_order,
                                        null_ok_refs=null_ok_refs),
                           batch_format='pyarrow')
@@ -654,14 +669,15 @@ class XmlIteratorKernel:
             return [node.text] if node.text is not None else []
         return [c.text for c in node.findall(elem_path, ns) if c.text is not None]
 
-    def _process(self, batch: pd.DataFrame):
+    def _process(self, batch):
         import xml.etree.ElementTree as ET
         from itertools import product
 
         rows = []
         seen_refs: set = set()
         any_nodes = False
-        for blob in batch['bytes']:
+        blobs, _ = _blob_batch(batch)
+        for blob in blobs:
             text = blob.decode('utf-8') if isinstance(blob, (bytes, bytearray)) else blob
             root = ET.fromstring(text)
             # namespace prefixes from the document, for prefixed XPath steps
@@ -686,7 +702,7 @@ class XmlIteratorKernel:
                     rows.append(dict(zip(self.references, combo)))
         return rows, seen_refs, any_nodes
 
-    def seen_info(self, batch: pd.DataFrame) -> pa.Table:
+    def seen_info(self, batch) -> pa.Table:
         """Reference-visibility rows for the SOURCE-level strict check (the
         W3C RMLTC0002c semantics must aggregate across all files of a glob,
         not per batch — see ``_validate_strict_refs``)."""
@@ -694,7 +710,7 @@ class XmlIteratorKernel:
         names = sorted(seen) + (['__any_records__'] if any_nodes else [])
         return pa.table({'name': pa.array(names, pa.string())})
 
-    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+    def __call__(self, batch) -> pa.Table:
         # typed Arrow out (see JsonIteratorKernel.__call__: empty object-dtype
         # pandas blocks spam Ray's size estimator)
         rows, _, _ = self._process(batch)
@@ -709,7 +725,7 @@ def _read_xml(rule, references, na_values, keep_order: bool = False,
     if strict:
         _validate_strict_refs(path, kernel, references, kind='XML')
     ds = ray.data.read_binary_files(_expand_source_paths(path))
-    ds = ds.map_batches(kernel.__call__, batch_format='pandas')
+    ds = ds.map_batches(kernel.__call__, batch_format='pyarrow')
     return ds.map_batches(_prologue_fn(references, na_values, keep_order=keep_order),
                           batch_format='pyarrow')
 
