@@ -268,15 +268,16 @@ def web_kg_triples(pages: ray.data.Dataset, gazetteer: dict[str, str] | None = N
                    dedup_strategy: str = 'in_place') -> ray.data.Dataset:
     """Deduped triples Dataset (partition, subject, predicate, object).
 
-    ``dedup_strategy='in_place'`` (default) exchanges only 20-byte row
-    hashes — the triple payload never crosses the wire, so dedup cost scales
-    with the CROSS-BLOCK DUPLICATE volume; above the duplicate-volume cap it
-    auto-reroutes to the payload exchange (engine/dedup.py).
-    ``'exchange'`` shuffles the full rows keyed on a row-hash bucket.
-    Measured at 600k pages (7.6M triples): in_place 12.7s vs exchange 30.5s
-    at 32 CPUs, 42.8s vs 56.6s at 8 CPUs — the full-row exchange was the
-    scaling bottleneck once the emit kernel got cheap; at 150k pages the two
-    are within noise."""
+    ``dedup_strategy='in_place'`` (default) exchanges only 16-byte row
+    hashes, PUSHED to reducer actors while the emit pass itself runs — the
+    triple payload never crosses the wire and the hash exchange adds no
+    barrier of its own; above the duplicate-volume cap it auto-reroutes to
+    the payload exchange (engine/dedup.py).  ``'exchange'`` shuffles the
+    full rows keyed on a row-hash bucket.  Measured at 600k pages (7.6M
+    triples), 32 CPUs: overlapped in_place 8.9-9.4s vs 12.7s for the
+    round-4 pull-based in_place vs 30.5s for the full-row exchange; 8->32
+    scaling tracks the emit kernel's own ratio within ~3% (BASELINE.md
+    round-5 scaling table)."""
     gaz = gazetteer or default_gazetteer()
     if concurrency is None:
         # task form (default): fuses with the read, no intermediate payload
