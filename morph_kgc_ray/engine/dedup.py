@@ -82,31 +82,34 @@ class _HashBucketState:
     barrier, no hash-shuffle aggregator spin-up (which measured 11-24 s of
     fixed cost at bench scale and ANTI-scaled 8->32 CPUs).
 
-    Idempotence: parts are stored per block id in a dict, so a retried or
+    All state is scoped by ``run``, an opaque per-``distinct_in_place``-call
+    token, so ONE session-wide pool of reducers serves every call (including
+    concurrent ones) without re-paying actor spawn per call.
+
+    Idempotence: parts are stored per (run, block id), so a retried or
     speculatively re-executed producer task REPLACES its prior submission
-    instead of double-counting.  ``total_received()`` lets the driver verify
-    every payload row's hash arrived (a reducer that died and silently
-    restarted empty would fail that check and the caller reroutes through
-    the pull-based exchange)."""
+    instead of double-counting.  ``total_received(run)`` lets the driver
+    verify every payload row's hash arrived (a reducer that died and
+    silently restarted empty would fail that check and the caller reroutes
+    through the pull-based exchange)."""
 
     def __init__(self):
-        self.parts: dict[int, tuple] = {}
+        self.runs: dict[str, dict] = {}
 
-    def add(self, bid: int, h1, h2) -> int:
-        self.parts[bid] = (h1, h2)
+    def add(self, run: str, bid: int, h1, h2) -> int:
+        self.runs.setdefault(run, {})[bid] = (h1, h2)
         return len(h1)
 
-    def total_received(self) -> int:
-        return sum(len(h1) for h1, _ in self.parts.values())
+    def total_received(self, run: str) -> int:
+        return sum(len(h1) for h1, _ in self.runs.get(run, {}).values())
 
-    def clear(self) -> None:
-        """Free the hash state once winners were read (the actor itself
-        stays alive so a lost payload block's lineage re-execution — whose
-        prep() would push to it again — doesn't fail; the handle refcount
-        reaps the actor when the result dataset is garbage-collected)."""
-        self.parts = {}
+    def clear(self, run: str) -> None:
+        """Free one run's hash state once its winners were read (the actor
+        stays alive for the pool; a lost payload block's lineage
+        re-execution simply re-adds to an empty run dict)."""
+        self.runs.pop(run, None)
 
-    def winners(self):
+    def winners(self, run: str):
         """(h1, h2, winner_bid) numpy arrays for hashes seen in >1 block.
 
         Two-stage: a value-only ``np.sort`` over h1 finds candidate
@@ -115,17 +118,18 @@ class _HashBucketState:
         corpora (the normal web-crawl case) this is ~4x the full lexsort."""
         import numpy as np
         z = np.array([], dtype=np.uint64)
-        if not self.parts:
+        parts = self.runs.get(run, {})
+        if not parts:
             return z, z, np.array([], dtype=np.int64)
-        h1 = np.concatenate([p[0] for p in self.parts.values()])
+        h1 = np.concatenate([p[0] for p in parts.values()])
         s = np.sort(h1)
         dup_vals = s[1:][s[1:] == s[:-1]]  # h1 values appearing >1 time
         if not len(dup_vals):
             return z, z, np.array([], dtype=np.int64)
         dup_vals = np.unique(dup_vals)
-        h2 = np.concatenate([p[1] for p in self.parts.values()])
+        h2 = np.concatenate([p[1] for p in parts.values()])
         bid = np.concatenate([np.full(len(p[0]), b, dtype=np.int64)
-                              for b, p in self.parts.items()])
+                              for b, p in parts.items()])
         m = np.isin(h1, dup_vals)
         h1, h2, bid = h1[m], h2[m], bid[m]
         order = np.lexsort((h2, h1))
@@ -143,6 +147,29 @@ class _HashBucketState:
 # actor form (zero CPUs: reducers must never take slots from the producer
 # stage they overlap with); plain-class form above stays unit-testable
 _HashBucketReducer = ray.remote(num_cpus=0)(_HashBucketState)
+
+# session-wide reducer pool, keyed by Ray job id so a ray.shutdown()/init()
+# cycle in the same process gets fresh actors instead of dead handles
+_REDUCER_POOL: dict = {}
+
+
+def _reducer_pool() -> list:
+    try:
+        job = ray.get_runtime_context().get_job_id()
+    except Exception:
+        job = 'nojob'
+    pool = _REDUCER_POOL.get(job)
+    if pool is None:
+        n = max(2, min(32, _ray_cpus() // 4))
+        pool = [_HashBucketReducer.remote() for _ in range(n)]
+        # fire-and-forget ping: spawn the worker processes NOW so their
+        # startup overlaps the caller's read/extract warm-up instead of
+        # stalling the first wave of prep() acks (~1.5 s at 32 CPUs)
+        for r in pool:
+            r.total_received.remote('_warm')
+        _REDUCER_POOL.clear()  # at most one live session per process
+        _REDUCER_POOL[job] = pool
+    return pool
 
 # per-worker-process counter disambiguating multiple prep() calls inside one
 # fused task (call order within a task is deterministic, so (task, seq) is
@@ -210,25 +237,41 @@ def distinct_in_place(ds: ray.data.Dataset, cols: list[str],
       exchange instead, automatically — one payload shuffle, no driver
       state.
 
-    100-TB sizing: ``num_buckets`` reducers each hold (total_rows x 16 B) /
-    num_buckets of hash state and receive one push per producer block — on a
-    real cluster set it ~ (hash volume / 256 MB) and spread actors across
-    nodes; the default tracks the CPU count."""
+    100-TB sizing: reducers each hold (total_rows x 16 B) / pool_size of
+    hash state and receive one push per producer block — on a real cluster
+    size ``num_buckets`` ~ (hash volume / 256 MB) and spread actors across
+    nodes.  By default a SESSION-WIDE pool sized from the CPU count is
+    reused across calls (state is scoped per call by a run token), so
+    repeated small materializations don't re-pay actor spawn."""
+    import uuid as _uuid
+
     import numpy as np
 
     cols = list(cols)
     ensure_hash_shuffle()
-    nbuckets = num_buckets or max(2, min(32, _ray_cpus() // 4))
-    reducers = [_HashBucketReducer.remote() for _ in range(nbuckets)]
-    # fire-and-forget ping: spawns the reducer worker processes NOW, so
-    # their startup overlaps the producer's read/extract warm-up instead of
-    # stalling the first wave of prep() acks (~1.5 s measured at 32 CPUs)
-    for r in reducers:
-        r.total_received.remote()
+    if num_buckets:  # dedicated reducers on request (tests, explicit sizing)
+        reducers = [_HashBucketReducer.remote() for _ in range(num_buckets)]
+        for r in reducers:
+            r.total_received.remote('_warm')
+    else:
+        reducers = _reducer_pool()
+    nbuckets = len(reducers)
+    run = _uuid.uuid4().hex
+
+    def _schema_empty() -> pa.Table:
+        data: dict = {c: pa.array([], pa.large_string()) for c in cols}
+        data['__h1'] = pa.array([], pa.uint64())
+        data['__h2'] = pa.array([], pa.uint64())
+        data['__bid'] = pa.array([], pa.int64())
+        return pa.table(data)
 
     def prep(t: pa.Table) -> pa.Table:
         from .kernels import table_distinct
         import polars as pl
+        # empty blocks can arrive schema-less (e.g. an empty rule dataset in
+        # a union); rebuild a schema-complete empty table
+        if t.num_rows == 0 or not set(cols) <= set(t.column_names):
+            return _schema_empty()
         t = t.select(cols)
         if local_first:  # skip when the producer already emits block-distinct batches
             t = table_distinct(t)
@@ -248,11 +291,17 @@ def distinct_in_place(ds: ray.data.Dataset, cols: list[str],
                                          digest_size=8).digest(), 'big') & ((1 << 63) - 1)
         if t.num_rows:
             b = (h1 % np.uint64(nbuckets)).astype(np.int64)
-            acks = []
-            for k in np.unique(b):
-                m = b == k
-                acks.append(reducers[int(k)].add.remote(int(bid), h1[m], h2[m]))
-            ray.get(acks)  # delivery completes before the task output commits
+            try:
+                acks = []
+                for k in np.unique(b):
+                    m = b == k
+                    acks.append(reducers[int(k)].add.remote(run, int(bid), h1[m], h2[m]))
+                ray.get(acks)  # delivery completes before the task output commits
+            except Exception:
+                # a dead/restarted reducer loses these rows; the driver's
+                # delivery verification below catches the shortfall and
+                # reroutes through the pull-based exchange
+                pass
         t = t.append_column('__h1', pa.array(h1))
         t = t.append_column('__h2', pa.array(h2))
         return t.append_column('__bid', pa.array(np.full(t.num_rows, bid, dtype=np.int64)))
@@ -261,9 +310,12 @@ def distinct_in_place(ds: ray.data.Dataset, cols: list[str],
 
     # the hash exchange already happened during the pass above; verify
     # delivery, then pull the (tiny) winner sets straight from the reducers
-    received = sum(ray.get([r.total_received.remote() for r in reducers]))
+    try:
+        received = sum(ray.get([r.total_received.remote(run) for r in reducers]))
+    except Exception:
+        received = -1  # pool actor died: take the pull-based fallback
     if received == mat.count():
-        wins = ray.get([r.winners.remote() for r in reducers])
+        wins = ray.get([r.winners.remote(run) for r in reducers])
         dup_h1 = np.concatenate([w[0] for w in wins])
         dup_h2 = np.concatenate([w[1] for w in wins])
         dup_win = np.concatenate([w[2] for w in wins])
@@ -275,7 +327,7 @@ def distinct_in_place(ds: ray.data.Dataset, cols: list[str],
             'the pull-based exchange', received, mat.count())
         dup_h1, dup_h2, dup_win = _pull_exchange_winners(mat)
     for r in reducers:
-        r.clear.remote()
+        r.clear.remote(run)
 
     if len(dup_h1) > driver_dup_cap:
         # duplicate volume too large for a driver-side map: reroute the

@@ -519,11 +519,15 @@ def _copy_stage(src_col: str, dst_col: str):
 # --------------------------------------------------------------------------
 
 # Below this total mapping-source volume the per-partition dedup takes the
-# single-task fast path instead of the keyed exchange: hash-shuffle
-# aggregator spin-up costs seconds per execution regardless of data size,
-# which dominates small jobs (conformance TCs, dimension tables).
+# single-task fast path (coalesce to ONE block + exact distinct): per-
+# execution fixed costs dominate tiny jobs (conformance TCs, dimension
+# tables).  Above it, dedup runs through the push-based in-place distinct —
+# the hash exchange overlaps the materialization pass itself (see
+# engine/dedup.py) — which replaced both the single-task plan at mid size
+# (a 600k-triple lineitem mapping spent ~2 s in the one serial task) and
+# the keyed payload exchange at large size.
 _SMALL_DISTINCT_BYTES = int(__import__('os').environ.get('MKR_SMALL_DISTINCT_BYTES',
-                                                         64 * 1024 * 1024))
+                                                         4 * 1024 * 1024))
 
 
 def _mapping_sources_small(rml_df, config: Config) -> bool:
@@ -548,8 +552,11 @@ def _mapping_sources_small(rml_df, config: Config) -> bool:
     return True
 
 
-def _partition_datasets(config: Config, python_source=None, as_columns=False):
-    """One deduped triples Dataset per mapping partition."""
+def _partition_datasets(config: Config, python_source=None, as_columns=False,
+                        skip_ids: 'set | None' = None):
+    """One deduped triples Dataset per mapping partition.  ``skip_ids``
+    (partition ids already committed by a resumable sink) are built as
+    EMPTY placeholders so no compute is planned or executed for them."""
     rml_df, fnml_df = retrieve_mappings(config)
     asserted = rml_df[rml_df['triples_map_type'] == RML_TRIPLES_MAP_CLASS]
 
@@ -564,6 +571,9 @@ def _partition_datasets(config: Config, python_source=None, as_columns=False):
     partitions = {}
     group_cols = 'mapping_partition'
     for partition_id, group in asserted.groupby(group_cols, dropna=False, sort=True):
+        if skip_ids and str(partition_id) in skip_ids:
+            partitions[str(partition_id)] = None  # sink skips it via its manifest
+            continue
         rule_datasets = []
         for _, rule in group.iterrows():
             ds = materialize_rule(rule, rml_df, fnml_df, config, python_source=python_source,
@@ -573,8 +583,17 @@ def _partition_datasets(config: Config, python_source=None, as_columns=False):
         if len(rule_datasets) > 1:
             ds = ds.union(*rule_datasets[1:])
         # the partition-disjointness theorem keeps this dedup partition-local
-        ds = distinct(ds, out_cols, num_partitions=config.get_dedup_partitions() or None,
-                      small=small)
+        if small:
+            ds = distinct(ds, out_cols, num_partitions=config.get_dedup_partitions() or None,
+                          small=True)
+        else:
+            # push-based in-place distinct: the 16-byte hash exchange
+            # overlaps the materialization pass (engine/dedup.py); NOTE this
+            # executes the partition's pipeline eagerly (the winners must
+            # exist before the keep filter), which is why committed
+            # partitions are skipped above instead of in the sink
+            from .dedup import distinct_in_place
+            ds = distinct_in_place(ds, out_cols)
         partitions[str(partition_id)] = ds
     return partitions
 
@@ -615,9 +634,29 @@ def materialize_to_dir(config, out_dir: str, python_source=None, resume: bool = 
     partitions with a committed manifest are skipped (idempotent re-runs).
     ``out_dir`` may be a local path or a filesystem URI (``file://``,
     ``s3://``); pass ``filesystem`` for an explicit ``pyarrow.fs.FileSystem``."""
-    from ..sinks.writers import write_partitioned_ntriples
+    import posixpath
+
+    from ..sinks.writers import (
+        _exists,
+        _sanitize,
+        resolve_filesystem,
+        write_partitioned_ntriples,
+    )
     if not isinstance(config, Config):
         config = Config(config)
-    parts = _partition_datasets(config, python_source)
+    skip_ids: set = set()
+    if resume:
+        # identify committed partitions BEFORE building their datasets: the
+        # mid/large dedup plan executes eagerly, so the skip must happen at
+        # plan time, not inside the sink (which still re-checks manifests)
+        f, root = resolve_filesystem(out_dir, filesystem)
+        rml_df, _ = retrieve_mappings(config)
+        asserted = rml_df[rml_df['triples_map_type'] == RML_TRIPLES_MAP_CLASS]
+        for pid in asserted['mapping_partition'].dropna().unique():
+            mpath = posixpath.join(root, f'part={_sanitize(str(pid))}',
+                                   '_MANIFEST.json')
+            if _exists(f, mpath):
+                skip_ids.add(str(pid))
+    parts = _partition_datasets(config, python_source, skip_ids=skip_ids)
     return write_partitioned_ntriples(parts, out_dir, resume=resume,
                                       filesystem=filesystem)

@@ -217,6 +217,9 @@ def _write_one_partition(f: pafs.FileSystem, root: str, pid, ds,
     if resume and _exists(f, manifest_path):
         manifest = _read_json(f, manifest_path)
         return {'rows': manifest['rows'], 'skipped': True}
+    if ds is None:  # plan-time skip placeholder whose manifest disappeared
+        raise ValueError(f'partition {pid!r} was planned as committed but '
+                         f'{manifest_path} is missing — re-run without resume')
     if atomic:
         stage = pdir + '.tmp'
         _delete_dir(f, stage)

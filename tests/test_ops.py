@@ -72,18 +72,21 @@ def test_hash_bucket_state_winners_and_idempotent_retry():
     and a retried producer REPLACES its prior submission."""
     from morph_kgc_ray.engine.dedup import _HashBucketState
     s = _HashBucketState()
-    s.add(7, np.array([1, 2], dtype=np.uint64), np.array([10, 20], dtype=np.uint64))
-    s.add(3, np.array([2, 5], dtype=np.uint64), np.array([20, 50], dtype=np.uint64))
+    s.add('r1', 7, np.array([1, 2], dtype=np.uint64), np.array([10, 20], dtype=np.uint64))
+    s.add('r1', 3, np.array([2, 5], dtype=np.uint64), np.array([20, 50], dtype=np.uint64))
     # same h1 but different h2 — NOT a duplicate pair
-    s.add(9, np.array([1], dtype=np.uint64), np.array([99], dtype=np.uint64))
-    h1, h2, win = s.winners()
+    s.add('r1', 9, np.array([1], dtype=np.uint64), np.array([99], dtype=np.uint64))
+    # a different run's identical rows are INVISIBLE to r1 (pool sharing)
+    s.add('r2', 99, np.array([1], dtype=np.uint64), np.array([10], dtype=np.uint64))
+    h1, h2, win = s.winners('r1')
     assert list(h1) == [2] and list(h2) == [20] and list(win) == [3]
-    assert s.total_received() == 5
+    assert s.total_received('r1') == 5
     # retry of block 9 replaces, never double-counts
-    s.add(9, np.array([1], dtype=np.uint64), np.array([99], dtype=np.uint64))
-    assert s.total_received() == 5
-    s.clear()
-    assert s.total_received() == 0
+    s.add('r1', 9, np.array([1], dtype=np.uint64), np.array([99], dtype=np.uint64))
+    assert s.total_received('r1') == 5
+    s.clear('r1')
+    assert s.total_received('r1') == 0
+    assert s.total_received('r2') == 1
 
 
 def test_pull_exchange_winners_matches_push(ray_session):
