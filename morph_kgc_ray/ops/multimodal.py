@@ -5,13 +5,15 @@ Decode coverage in THIS container (no Pillow/pyav/torchaudio):
 
 - **Real decoders, pure numpy/stdlib**: BMP (uncompressed 24/32-bit),
   PNG (8-bit grey/RGB/RGBA, non-interlaced — zlib + unfilter), PPM/PGM
-  (binary P6/P5), WAV (stdlib ``wave``: PCM 8/16/32-bit).  These paths
-  produce true pixels/samples and real features (per-channel mean/std).
+  (binary P6/P5), baseline JPEG (SOF0/SOF1 huffman DCT, grayscale/YCbCr
+  4:4:4/4:2:2/4:2:0 — ops/jpeg.py, from the public ITU T.81 spec), WAV
+  (stdlib ``wave``: PCM 8/16/32-bit).  These paths produce true
+  pixels/samples and real features (per-channel mean/std).
 - **Deterministic fake** for formats that genuinely need a codec library
-  (JPEG, MP4...): dimensions/features derived from sha256 of the payload —
-  clearly marked, reproducible in SQL for the oracle check, swapped out by
-  plugging the real codec into ``decode_image_bytes``.  ``strict=True``
-  raises ``NotImplementedError`` instead of faking.
+  (progressive JPEG, MP4...): dimensions/features derived from sha256 of
+  the payload — clearly marked, reproducible in SQL for the oracle check,
+  swapped out by plugging the real codec into ``decode_image_bytes``.
+  ``strict=True`` raises ``NotImplementedError`` instead of faking.
 
 Scale notes: binary payloads are MBs/row, so these stages use SMALL
 batch_size and pyarrow batches (binary columns round-trip zero-copy through
@@ -173,12 +175,17 @@ def _decode_pnm(blob: bytes) -> 'np.ndarray | None':
 
 
 def decode_image_bytes(blob: bytes) -> 'np.ndarray | None':
-    """Decode supported image formats to an (h, w, ch) uint8 array; None for
-    unsupported formats (JPEG etc. — plug the real codec here)."""
+    """Decode supported image formats to an (h, w, ch) uint8 array; None
+    for unsupported formats.  Baseline JPEG decodes via the pure-numpy
+    T.81 implementation in ops/jpeg.py (conformance-scale; swap in
+    Pillow/turbojpeg here for bulk throughput)."""
     for dec in (_decode_png, _decode_bmp, _decode_pnm):
         px = dec(blob)
         if px is not None:
             return px
+    if blob[:2] == b'\xff\xd8':
+        from .jpeg import decode_jpeg
+        return decode_jpeg(blob)
     return None
 
 
@@ -223,7 +230,9 @@ class ImageDecodeKernel:
             return w, h, image_features(px, self.feature_dim)
         if self.strict:
             raise NotImplementedError(
-                'unsupported image format (JPEG needs Pillow; not in this container)')
+                'unsupported image format (progressive JPEG / exotic codecs '
+                'need Pillow, not in this container; baseline JPEG, BMP, '
+                'PNG and PNM decode natively)')
         # deterministic fake: dimensions and features derived from a hash
         # (sha256 so the fake is reproducible in SQL for the oracle check)
         d = hashlib.sha256(blob).digest()
