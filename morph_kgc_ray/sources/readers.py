@@ -608,9 +608,14 @@ class XmlIteratorKernel:
     predicates: "item[@type='x']", 'item[2]', 'item[last()]',
     'item[child]' — in both iterators and references (e.g.
     "item[@type='x']@id" takes the id attribute of the predicate-matching
-    elements; the '@' splits only OUTSIDE brackets).  Not covered: XPath
-    functions beyond text()/last(), axes, and cross-step comparisons (the
-    reference's elementpath accepts full XPath 3.0, data_file.py:188-253).
+    elements; the '@' splits only OUTSIDE brackets).
+
+    Expressions ElementTree's grammar REJECTS fall back to the XPath 1.0
+    evaluator in ``sources/xpath.py`` (axes like ancestor::/
+    following-sibling::, position()/last() arithmetic predicates, string
+    functions contains()/starts-with()/normalize-space(), comparisons,
+    unions) — covering the XPath-1.0 core of the reference's elementpath
+    (XPath 3.0, data_file.py:188-253); 2.0+-only syntax still raises.
 
     Multi-valued references explode (cartesian across references,
     data_file.py:250-251)."""
@@ -658,16 +663,36 @@ class XmlIteratorKernel:
             return r[:pos].rstrip('/'), r[pos + 1:]
         return r, None
 
-    def _extract(self, node, ref: str, ns: dict) -> list[str]:
+    def _extract(self, node, ref: str, ns: dict, pmap=None) -> list[str]:
         elem_path, attr = self._split_attr(ref)
         if attr is not None:
             if elem_path in ('', '.'):
                 v = node.get(attr)
                 return [v] if v is not None else []
-            return [c.get(attr) for c in node.findall(elem_path, ns) if c.get(attr) is not None]
+            try:
+                kids = node.findall(elem_path, ns)
+            except SyntaxError:
+                kids = [x for x in self._xp(node, elem_path, ns, pmap)
+                        if not isinstance(x, str)]
+            return [c.get(attr) for c in kids if c.get(attr) is not None]
         if elem_path in ('.', 'text()'):
             return [node.text] if node.text is not None else []
-        return [c.text for c in node.findall(elem_path, ns) if c.text is not None]
+        try:
+            return [c.text for c in node.findall(elem_path, ns) if c.text is not None]
+        except SyntaxError:
+            out = []
+            for x in self._xp(node, elem_path, ns, pmap):
+                if isinstance(x, str):
+                    out.append(x)
+                elif x.text is not None:
+                    out.append(x.text)
+            return out
+
+    @staticmethod
+    def _xp(node, path: str, ns: dict, pmap=None) -> list:
+        """Full-evaluator fallback for expressions ET's grammar rejects."""
+        from .xpath import select
+        return select(node, path, ns=ns, parent_map=pmap)
 
     def _process(self, batch):
         import xml.etree.ElementTree as ET
@@ -684,13 +709,22 @@ class XmlIteratorKernel:
             import io
             ns = dict(px for ev, px in ET.iterparse(io.StringIO(text), events=('start-ns',)))
             it = self._iter_path(self.iterator)
-            nodes = [root] if it == '.' else root.findall(it, ns)
+            pmap = None  # document parent map, built once on first fallback
+            try:
+                nodes = [root] if it == '.' else root.findall(it, ns)
+            except SyntaxError:
+                pmap = {c: p for p in root.iter() for c in p}
+                nodes = [x for x in self._xp(root, it, ns, pmap)
+                         if not isinstance(x, str)]
             any_nodes = any_nodes or bool(nodes)
             for node in nodes:
                 ref_values = []
                 ok = True
                 for ref in self.references:
-                    vals = self._extract(node, ref, ns)
+                    if pmap is None and any(tok in ref for tok in ('::', '(')) \
+                            and not ref.endswith('/text()') and ref not in ('.', 'text()'):
+                        pmap = {c: p for p in root.iter() for c in p}
+                    vals = self._extract(node, ref, ns, pmap)
                     if vals:
                         seen_refs.add(ref)
                     else:
