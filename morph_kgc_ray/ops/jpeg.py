@@ -275,3 +275,124 @@ def _decode_scan(blob, pos, frame, scan, qt, huff, restart_interval):
     else:
         return None
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# minimal spec-built encoder — fixture / test-vector generator
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, bits: int, n: int):
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((bits >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1 bits
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length() if v < 0 else 0
+
+
+def _canonical_table(symbols) -> tuple:
+    """Fixed-length canonical Huffman over the distinct symbols: enough
+    codes of length L = bit_length(count+1 - 1)... chosen so the all-ones
+    code stays unused (T.81 C.2 recommends reserving it)."""
+    vals = sorted(set(symbols))
+    L = max(2, (len(vals)).bit_length())
+    if len(vals) >= (1 << L):
+        L += 1
+    bits = bytearray(16)
+    bits[L - 1] = len(vals)
+    codes = {v: (i, L) for i, v in enumerate(vals)}
+    return bytes(bits), bytes(vals), codes
+
+
+def encode_gray_jpeg(pixels: np.ndarray, quant: 'np.ndarray | None' = None) -> bytes:
+    """Baseline JPEG bytes for (h, w) grayscale uint8 — a spec-built
+    encoder (forward DCT + quantization + canonical Huffman per T.81) used
+    to generate deterministic test vectors for the decoder; with the
+    default all-ones quantization table, blockwise-constant images
+    round-trip EXACTLY (the oracle queries rely on that)."""
+    q = quant if quant is not None else np.ones(64, np.int64)
+    H, W = pixels.shape
+    mcus_y, mcus_x = -(-H // 8), -(-W // 8)
+    p = np.zeros((mcus_y * 8, mcus_x * 8))
+    p[:H, :W] = pixels.astype(np.float64) - 128.0
+    p[H:, :W] = p[H - 1:H, :W]  # edge-extend padding
+    p[:, W:] = p[:, W - 1:W]
+
+    blocks = []
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            blk = _A @ p[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] @ _A.T
+            blocks.append(np.round(blk.reshape(64)[ZIGZAG] / q).astype(int))
+
+    dc_syms, ac_syms, events = [], [], []
+    pred = 0
+    for zz in blocks:
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        cat = _category(diff)
+        dc_syms.append(cat)
+        ev = [('dc', cat, diff)]
+        k = 1
+        while k < 64:
+            run = 0
+            while k < 64 and zz[k] == 0:
+                run += 1
+                k += 1
+            if k == 64:
+                ac_syms.append(0x00)
+                ev.append(('ac', 0x00, 0))
+                break
+            while run > 15:
+                ac_syms.append(0xF0)
+                ev.append(('ac', 0xF0, 0))
+                run -= 16
+            size = _category(int(zz[k]))
+            sym = (run << 4) | size
+            ac_syms.append(sym)
+            ev.append(('ac', sym, int(zz[k])))
+            k += 1
+        events.append(ev)
+
+    dc_bits, dc_vals, dc_codes = _canonical_table(dc_syms)
+    ac_bits, ac_vals, ac_codes = _canonical_table(ac_syms)
+    w = _BitWriter()
+    for ev in events:
+        for kind, sym, val in ev:
+            code, ln = (dc_codes if kind == 'dc' else ac_codes)[sym]
+            w.write(code, ln)
+            size = sym if kind == 'dc' else (sym & 0x0F)
+            if size:
+                v = val if val >= 0 else val + (1 << size) - 1
+                w.write(v, size)
+    w.flush()
+
+    out = bytearray(b'\xff\xd8')
+
+    def seg(marker, payload):
+        out.extend(bytes([0xFF, marker]) + struct.pack('>H', len(payload) + 2) + payload)
+
+    seg(0xDB, bytes([0x00]) + bytes(int(x) & 0xFF for x in q))
+    seg(0xC0, bytes([8]) + struct.pack('>HH', H, W) + bytes([1, 1, 0x11, 0]))
+    seg(0xC4, bytes([0x00]) + dc_bits + dc_vals)
+    seg(0xC4, bytes([0x10]) + ac_bits + ac_vals)
+    seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out.extend(w.out)
+    out.extend(b'\xff\xd9')
+    return bytes(out)

@@ -424,6 +424,39 @@ def multimodal_real_decode(sf_dir: str):
     return out.map_batches(finalize, batch_format='pyarrow')
 
 
+def multimodal_jpeg_decode(sf_dir: str):
+    """REAL baseline-JPEG decode end-to-end (pure-numpy T.81 huffman+IDCT,
+    ops/jpeg.py): each doc gets a constant-gray JPEG whose size/value
+    derive from doc_id (non-multiple-of-8 sizes exercise MCU padding and
+    multi-block scans); blockwise-constant images round-trip EXACTLY with
+    the unit quantization table, so the oracle recomputes width/height/mean
+    arithmetically and the compare is hash-exact."""
+    import numpy as np
+
+    from ..ops.jpeg import encode_gray_jpeg
+    from ..ops.multimodal import decode_images
+    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id'])
+
+    def to_jpeg(t: pa.Table) -> pa.Table:
+        ids = t['doc_id'].to_numpy(zero_copy_only=False)
+        blobs = [encode_gray_jpeg(np.full((8 + int(i) % 5, 8 + int(i) % 9),
+                                          int(i) % 256, np.uint8))
+                 for i in ids]
+        return pa.table({'doc_id': t['doc_id'],
+                         'image': pa.array(blobs, pa.large_binary())})
+
+    out = decode_images(ds.map_batches(to_jpeg, batch_format='pyarrow'), concurrency=2)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        gray = pc.list_element(t['features'], 0)
+        gray255 = pc.round(pc.multiply(pc.cast(gray, pa.float64()), 255.0))
+        return pa.table({'doc_id': t['doc_id'], 'width': t['width'],
+                         'height': t['height'],
+                         'gray_mean_255': pc.cast(gray255, pa.int64())})
+
+    return out.map_batches(finalize, batch_format='pyarrow')
+
+
 def web_kg_construction(sf_dir: str):
     """Flagship pipeline over a deterministic synthetic page corpus sized by
     the sf of the input dir (rows-only check; the bnode-free triple set is
@@ -466,6 +499,7 @@ QUERIES = {
     'ivf_recall_embeddings': ivf_recall_embeddings,
     'multimodal_image_features': multimodal_image_features,
     'multimodal_real_decode': multimodal_real_decode,
+    'multimodal_jpeg_decode': multimodal_jpeg_decode,
     'web_kg_construction': web_kg_construction,
 }
 
@@ -765,6 +799,12 @@ ORACLE_SQL['multimodal_real_decode'] = '''
            CAST(4 + doc_id % 5 AS INTEGER) AS width,
            CAST(3 + doc_id % 7 AS INTEGER) AS height,
            CAST(doc_id % 256 AS BIGINT) AS red_mean_255
+    FROM documents'''
+ORACLE_SQL['multimodal_jpeg_decode'] = '''
+    SELECT doc_id,
+           CAST(8 + doc_id % 9 AS INTEGER) AS width,
+           CAST(8 + doc_id % 5 AS INTEGER) AS height,
+           CAST(doc_id % 256 AS BIGINT) AS gray_mean_255
     FROM documents'''
 ORACLE_SQL['lang_id_documents'] = (
     f'SELECT doc_id, {_langid_case_sql()} AS lang_pred '

@@ -262,6 +262,22 @@ def test_non_jpeg_and_progressive_rejected():
     assert decode_jpeg(bytes(blob)) is None
 
 
+def test_package_gray_encoder_exact_on_constant_blocks():
+    """encode_gray_jpeg (the oracle-query fixture generator) round-trips
+    blockwise-constant images EXACTLY, including non-multiple-of-8 sizes
+    (MCU edge padding + multi-block scans)."""
+    from morph_kgc_ray.ops.jpeg import encode_gray_jpeg
+    for v, (h, w) in [(0, (8, 8)), (255, (11, 13)), (130, (9, 24)), (7, (16, 17))]:
+        px = decode_jpeg(encode_gray_jpeg(np.full((h, w), v, np.uint8)))
+        assert px is not None and px.shape == (h, w, 1)
+        assert (px[..., 0] == v).all(), (v, h, w)
+    # and a random multi-block grayscale stays within DCT rounding tolerance
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, size=(17, 10), dtype=np.uint8)
+    px = decode_jpeg(encode_gray_jpeg(img))
+    assert np.abs(px[..., 0].astype(int) - img.astype(int)).max() <= 4
+
+
 def test_decode_image_bytes_routes_jpeg():
     from morph_kgc_ray.ops.multimodal import decode_image_bytes
     img = np.full((8, 8), 55, np.uint8)
