@@ -77,6 +77,7 @@ def run_scaling() -> None:
     # fixed per-session costs (worker/aggregator startup) at both levels
     os.environ.setdefault('GRAFT_HEADLINE_ROWS', '600000')
     ctrl = _host_cpu_control(lo, hi)
+    wctrl = _host_workload_control(lo, hi)
     eff, r_lo, r_hi, pair_samples = run_pairs(lo, hi)
     t_lo, t_hi = r_lo['value'], r_hi['value']
     print(json.dumps({
@@ -92,6 +93,13 @@ def run_scaling() -> None:
         # raw efficiency by this ceiling to read the pipeline's contribution
         'host_cpu_control_efficiency': ctrl,
         'efficiency_vs_host_ceiling': round(min(eff / ctrl, 1.0), 3) if ctrl else None,
+        # the host's lo->hi scaling on THIS WORKLOAD's own kernel (the page
+        # emit kernel over a fixed corpus sample, N independent processes,
+        # no Ray, no shuffle): register-only busy loops overstate what a
+        # memory-bound html/string workload can scale to, so this is the
+        # definitionally-achievable ceiling for the headline's compute class
+        'host_workload_control_efficiency': wctrl,
+        'efficiency_vs_workload_ceiling': round(min(eff / wctrl, 1.0), 3) if wctrl else None,
         'headline_rows': r_lo.get('headline_rows'),
     }))
 
@@ -120,6 +128,54 @@ def _burn(n: int) -> int:
     for i in range(n):
         x += i * i
     return x
+
+
+def _emit_work(reps: int) -> int:
+    """One worker's share of the workload control: run the REAL emit kernel
+    over a fixed in-memory page batch ``reps`` times (per-process kernel +
+    batch setup happens once via module-level cache)."""
+    global _EMIT_CTRL_STATE
+    if _EMIT_CTRL_STATE is None:
+        import pyarrow.parquet as pq
+
+        from morph_kgc_ray.pipelines.pages import pages_parquet_dir
+        from morph_kgc_ray.pipelines.web import TripleEmitKernel
+        import glob as _glob
+        d = pages_parquet_dir(2000, num_files=8)
+        t = pq.read_table(sorted(_glob.glob(f'{d}/*.parquet'))[0],
+                          columns=['url', 'warc_ts', 'html', 'lang'])
+        _EMIT_CTRL_STATE = (TripleEmitKernel(), t.slice(0, 250))
+    kernel, batch = _EMIT_CTRL_STATE
+    n = 0
+    for _ in range(reps):
+        n += kernel(batch).num_rows
+    return n
+
+
+_EMIT_CTRL_STATE = None
+
+
+def _host_workload_control(lo: int, hi: int, reps: int = 8) -> float:
+    """lo->hi scaling of the headline's OWN kernel in N independent
+    processes (no Ray, no shuffle, no shared state) — the achievable
+    ceiling for this memory-bound html/string workload on this host; best
+    of two runs per level (noise only understates the ceiling)."""
+    import multiprocessing as mp
+
+    def rate(procs: int) -> float:
+        best = 0.0
+        with mp.Pool(procs) as p:
+            p.map(_emit_work, [1] * procs)  # warm: corpus + kernel setup
+            for _ in range(2):
+                t0 = time.time()
+                p.map(_emit_work, [reps] * procs)
+                best = max(best, procs * reps / (time.time() - t0))
+        return best
+
+    try:
+        return round((rate(hi) / rate(lo)) / (hi / lo), 3)
+    except Exception:
+        return 0.0
 
 
 def main() -> None:

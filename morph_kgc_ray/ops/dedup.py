@@ -29,29 +29,14 @@ from .similarity import vectors_to_ndarray
 
 
 def exact_dedup(ds: ray.data.Dataset, key_cols: list[str], id_col: str,
-                num_partitions: int = 32) -> ray.data.Dataset:
+                num_partitions: int = 32, small: bool = False) -> ray.data.Dataset:
     """Keep one representative (min id) per distinct key.  Associative
-    min-reduce: local per block, hash exchange on key, local again."""
-    key_cols = list(key_cols)
-
-    def local_min(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t.select(key_cols + [id_col])
-        names = key_cols + [id_col]
-        t = t.select(names)
-        safe = [f'k{i}' for i in range(len(key_cols))] + ['v']
-        t = t.rename_columns(safe)
-        out = t.group_by(safe[:-1], use_threads=False).aggregate([('v', 'min')])
-        return out.rename_columns(key_cols + [id_col])
-
-    ds = ds.map_batches(local_min, batch_format='pyarrow')
-    try:
-        ds = ds.repartition(num_partitions, keys=key_cols, sort=False)
-        return ds.map_batches(local_min, batch_format='pyarrow')
-    except Exception:
-        agg = ds.groupby(key_cols).min(id_col)
-        return agg.map_batches(
-            lambda t: t.rename_columns(key_cols + [id_col]), batch_format='pyarrow')
+    min-reduce via ``ops.agg.grouped_agg``: local partial per block, then a
+    single-task combine (``small=True``, plan-time knowledge) or the hash
+    exchange."""
+    from .agg import grouped_agg
+    return grouped_agg(ds, list(key_cols), [(id_col, 'min', id_col)],
+                       small=small, num_partitions=num_partitions)
 
 
 # --------------------------------------------------------------------------

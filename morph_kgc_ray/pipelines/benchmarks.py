@@ -145,7 +145,8 @@ def rml_documents_lang(sf_dir: str):
 
 def dedup_exact_documents(sf_dir: str):
     ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
-    return dedup_ops.exact_dedup(ds, ['text'], 'doc_id')
+    return dedup_ops.exact_dedup(ds, ['text'], 'doc_id',
+                                 small=_small_table(sf_dir, 'documents'))
 
 
 def token_count_documents(sf_dir: str):
@@ -179,16 +180,25 @@ def quality_filter_documents(sf_dir: str):
     return out.select_columns(['doc_id', 'lang'])
 
 
+def _small_table(sf_dir: str, name: str, cap: int = 64 * 1024 * 1024) -> bool:
+    """Plan-time combine-plan choice for grouped_agg (file size, no read)."""
+    import os
+    try:
+        return os.path.getsize(_p(sf_dir, name)) < cap
+    except OSError:
+        return False
+
+
 def lang_count_documents(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    from ..ops.agg import grouped_agg
     ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['lang', 'n_chars'])
-    out = ds.groupby('lang').aggregate(Count(alias_name='n_docs'),
-                                       Sum('n_chars', alias_name='sum_chars'))
-    return out
+    return grouped_agg(ds, ['lang'],
+                       [(None, 'count', 'n_docs'), ('n_chars', 'sum', 'sum_chars')],
+                       small=_small_table(sf_dir, 'documents'))
 
 
 def events_hourly_user_agg(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    from ..ops.agg import grouped_agg
     ds = read_parquet_clean(_p(sf_dir, 'events'), columns=['user_id', 'ts', 'value'])
 
     def bucketize(t: pa.Table) -> pa.Table:
@@ -198,14 +208,17 @@ def events_hourly_user_agg(sf_dir: str):
         return pa.table({'user_id': t['user_id'], 'hour_bucket': hour, 'value_cents': cents})
 
     ds = ds.map_batches(bucketize, batch_format='pyarrow')
-    return ds.groupby(['user_id', 'hour_bucket']).aggregate(
-        Count(alias_name='n_events'), Sum('value_cents', alias_name='sum_value_cents'))
+    return grouped_agg(ds, ['user_id', 'hour_bucket'],
+                       [(None, 'count', 'n_events'),
+                        ('value_cents', 'sum', 'sum_value_cents')],
+                       small=_small_table(sf_dir, 'events'))
 
 
 def top_customers(sf_dir: str):
-    from ray.data.aggregate import Count
+    from ..ops.agg import grouped_agg
     ds = read_parquet_clean(_p(sf_dir, 'orders'), columns=['o_custkey'])
-    agg = ds.groupby('o_custkey').aggregate(Count(alias_name='n_orders'))
+    agg = grouped_agg(ds, ['o_custkey'], [(None, 'count', 'n_orders')],
+                      small=_small_table(sf_dir, 'orders'))
     return agg.sort(['n_orders', 'o_custkey'], descending=[True, False]).limit(10)
 
 
