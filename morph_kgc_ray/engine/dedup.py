@@ -109,8 +109,10 @@ class _HashBucketState:
         re-execution simply re-adds to an empty run dict)."""
         self.runs.pop(run, None)
 
-    def winners(self, run: str):
-        """(h1, h2, winner_bid) numpy arrays for hashes seen in >1 block.
+    def dup_occurrences(self, run: str):
+        """(h1, h2, bid) numpy arrays of EVERY occurrence of a hash seen in
+        >1 block (the winner selection happens driver-side, so the filter
+        can test exact (hash, bid) membership — fail-open by construction).
 
         Two-stage: a value-only ``np.sort`` over h1 finds candidate
         duplicate h1 values (cheap — no permutation gathers), then the full
@@ -118,14 +120,15 @@ class _HashBucketState:
         corpora (the normal web-crawl case) this is ~4x the full lexsort."""
         import numpy as np
         z = np.array([], dtype=np.uint64)
+        zb = np.array([], dtype=np.int64)
         parts = self.runs.get(run, {})
         if not parts:
-            return z, z, np.array([], dtype=np.int64)
+            return z, z, zb
         h1 = np.concatenate([p[0] for p in parts.values()])
         s = np.sort(h1)
         dup_vals = s[1:][s[1:] == s[:-1]]  # h1 values appearing >1 time
         if not len(dup_vals):
-            return z, z, np.array([], dtype=np.int64)
+            return z, z, zb
         dup_vals = np.unique(dup_vals)
         h2 = np.concatenate([p[1] for p in parts.values()])
         bid = np.concatenate([np.full(len(p[0]), b, dtype=np.int64)
@@ -139,9 +142,8 @@ class _HashBucketState:
         new_grp[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
         starts = np.nonzero(new_grp)[0]
         counts = np.diff(np.append(starts, len(h1)))
-        mins = np.minimum.reduceat(bid, starts)
-        dup = counts > 1
-        return h1[starts][dup], h2[starts][dup], mins[dup]
+        dup_rows = np.repeat(counts > 1, counts)
+        return h1[dup_rows], h2[dup_rows], bid[dup_rows]
 
 
 # actor form (zero CPUs: reducers must never take slots from the producer
@@ -171,71 +173,63 @@ def _reducer_pool() -> list:
         _REDUCER_POOL[job] = pool
     return pool
 
-# per-worker-process counter disambiguating multiple prep() calls inside one
-# fused task (call order within a task is deterministic, so (task, seq) is
-# retry-stable); entries are ~100 bytes per producer task
-_PREP_CALL_SEQ: dict = {}
+def _row_hashes(t: pa.Table):
+    """Two independent 64-bit row hashes (the 128-bit equality proxy)."""
+    import polars as pl
+    h1 = pl.from_arrow(t).hash_rows(seed=11).to_numpy().astype('uint64')
+    h2 = pl.from_arrow(t).hash_rows(seed=13).to_numpy().astype('uint64')
+    return h1, h2
 
 
-def _pull_exchange_winners(mat: ray.data.Dataset):
-    """Pull-based fallback: bucket the (h1,h2,bid) columns of the already-
-    materialized payload and aggregate per bucket with Ray Data's hash
-    shuffle.  Correct at any scale but pays the aggregator-actor spin-up;
-    only used when the overlapped push exchange could not be verified."""
-    import numpy as np
-    import pandas as pd
-
-    buckets = max(8, _ray_cpus() * 2)
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        b = (t['__h1'].to_numpy(zero_copy_only=False) % np.uint64(buckets)).astype(np.int64)
-        return t.append_column('__bucket', pa.array(b))
-
-    def winners_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        grp = g.groupby(['__h1', '__h2'])['__bid'].agg(['min', 'count'])
-        dup = grp[grp['count'] > 1].reset_index()
-        dup = dup.rename(columns={'min': 'winner'})
-        return dup[['__h1', '__h2', 'winner']]
-
-    dup_pd = mat.select_columns(['__h1', '__h2', '__bid']) \
-                .map_batches(add_bucket, batch_format='pyarrow') \
-                .groupby('__bucket').map_groups(winners_in_bucket, batch_format='pandas') \
-                .to_pandas()
-    if '__h1' not in dup_pd.columns:  # empty results lose their schema
-        dup_pd = pd.DataFrame({'__h1': [], '__h2': [], 'winner': []})
-    return (np.asarray(dup_pd['__h1'], dtype=np.uint64),
-            np.asarray(dup_pd['__h2'], dtype=np.uint64),
-            np.asarray(dup_pd['winner'], dtype=np.int64))
+def _content_bid(h1) -> int:
+    """Deterministic block id from the block's OWN hash column: recomputable
+    by any later pass over the same block (no id column needs to ride on
+    the payload), stable across task retries (same content -> same id).
+    Two DIFFERENT blocks colliding (twin content or a 2^-64 hash accident)
+    overwrite each other in the reducer dict — which the driver's delivery
+    verification catches (received < payload rows), degrading to the
+    payload exchange; a collision can therefore never produce a wrong
+    answer, only a slower plan."""
+    import hashlib as _hl
+    return int.from_bytes(
+        _hl.blake2b(h1.tobytes() + len(h1).to_bytes(8, 'little'),
+                    digest_size=8).digest(), 'big') & ((1 << 63) - 1)
 
 
 def distinct_in_place(ds: ray.data.Dataset, cols: list[str],
                       local_first: bool = True,
                       driver_dup_cap: int = 2_000_000,
                       num_buckets: 'int | None' = None) -> ray.data.Dataset:
-    """Exact distinct that never shuffles the payload.
+    """Exact distinct that never shuffles the payload — and, when there are
+    no cross-block duplicates (the normal web-crawl case), never rewrites
+    it either.
 
-    1. per block: local distinct + two 64-bit row hashes (h1,h2) + a
-       retry-stable block id; the (h1,h2) rows are PUSHED to ``num_buckets``
-       zero-CPU reducer actors (bucketed by h1) while the payload pass runs
-       — the hash exchange fully OVERLAPS payload production, then the
-       payload materializes in place;
-    2. the reducers compute hashes present in >1 block and their winner
-       (min block id) — a few ms of numpy each, no second barrier;
-    3. broadcast the (small) cross-block-duplicate map and filter each block
-       locally: keep a row unless its hash lost to another block.
+    1. per block: local distinct + two 64-bit row hashes (h1,h2); the hash
+       rows are PUSHED to zero-CPU reducer actors (bucketed by h1, keyed by
+       a block id derived from the block's own hash content) while the
+       payload pass runs — the exchange fully OVERLAPS payload production
+       and NOTHING is appended to the payload, which materializes with its
+       caller-visible schema;
+    2. the reducers report every occurrence of a hash seen in >1 block
+       (a few ms of numpy each, no second barrier);
+    3. zero cross-block duplicates -> the materialized payload IS the
+       result (no filter pass, no second plasma write); otherwise a filter
+       pass RECOMPUTES each block's hashes + content id and drops exactly
+       the broadcast (hash, block) loser set — a drop requires exact
+       membership, so any anomaly fails OPEN (the copy survives) rather
+       than losing data.
 
     Scales with the DUPLICATE volume, not the data volume: the wide columns
     cross the wire zero times, and the 16-byte hash rows move concurrently
     with the pass that produces them.  Safety rails, in order:
     - the driver verifies the reducers received exactly one hash row per
-      payload row (a reducer lost+restarted mid-run would under-count);
-      on mismatch the already-materialized payload re-derives winners via
-      the pull-based hash-shuffle exchange (``_pull_exchange_winners``);
-    - above ``driver_dup_cap`` cross-block duplicates (where the broadcast
-      winner map would bottleneck the driver — e.g. a 10% dup rate at
-      100 TB) the payload reroutes through the bucket-keyed ``distinct``
-      exchange instead, automatically — one payload shuffle, no driver
-      state.
+      payload row (a reducer lost+restarted mid-run, a twin-content block
+      pair, or a block-id collision all under-count); on mismatch the
+      already-materialized payload reroutes through the bucket-keyed
+      ``distinct`` payload exchange — always correct, just not overlapped;
+    - above ``driver_dup_cap`` duplicate OCCURRENCES (where the broadcast
+      loser set would bottleneck the driver — e.g. a 10% dup rate at
+      100 TB) the payload reroutes the same way, automatically.
 
     100-TB sizing: reducers each hold (total_rows x 16 B) / pool_size of
     hash state and receive one push per producer block — on a real cluster
@@ -259,15 +253,10 @@ def distinct_in_place(ds: ray.data.Dataset, cols: list[str],
     run = _uuid.uuid4().hex
 
     def _schema_empty() -> pa.Table:
-        data: dict = {c: pa.array([], pa.large_string()) for c in cols}
-        data['__h1'] = pa.array([], pa.uint64())
-        data['__h2'] = pa.array([], pa.uint64())
-        data['__bid'] = pa.array([], pa.int64())
-        return pa.table(data)
+        return pa.table({c: pa.array([], pa.large_string()) for c in cols})
 
     def prep(t: pa.Table) -> pa.Table:
         from .kernels import table_distinct
-        import polars as pl
         # empty blocks can arrive schema-less (e.g. an empty rule dataset in
         # a union); rebuild a schema-complete empty table
         if t.num_rows == 0 or not set(cols) <= set(t.column_names):
@@ -275,94 +264,88 @@ def distinct_in_place(ds: ray.data.Dataset, cols: list[str],
         t = t.select(cols)
         if local_first:  # skip when the producer already emits block-distinct batches
             t = table_distinct(t)
-        h1 = pl.from_arrow(t).hash_rows(seed=11).to_numpy().astype('uint64')
-        h2 = pl.from_arrow(t).hash_rows(seed=13).to_numpy().astype('uint64')
-        # retry-stable block id: Ray keeps the TaskID across retries of the
-        # same task, so a re-executed producer REPLACES its reducer parts
-        # instead of faking a cross-block duplicate of itself (which would
-        # silently drop the retried payload).  The per-task call counter
-        # disambiguates multiple batches inside one fused task (the call
-        # order within a task is deterministic).
-        import hashlib as _hl
-        tid = ray.get_runtime_context().get_task_id() or 'driver'
-        seq = _PREP_CALL_SEQ.get(tid, 0)
-        _PREP_CALL_SEQ[tid] = seq + 1
-        bid = int.from_bytes(_hl.blake2b(f'{tid}:{seq}'.encode(),
-                                         digest_size=8).digest(), 'big') & ((1 << 63) - 1)
+        h1, h2 = _row_hashes(t)
+        bid = _content_bid(h1)
         if t.num_rows:
             b = (h1 % np.uint64(nbuckets)).astype(np.int64)
             try:
                 acks = []
                 for k in np.unique(b):
                     m = b == k
-                    acks.append(reducers[int(k)].add.remote(run, int(bid), h1[m], h2[m]))
+                    acks.append(reducers[int(k)].add.remote(run, bid, h1[m], h2[m]))
                 ray.get(acks)  # delivery completes before the task output commits
             except Exception:
                 # a dead/restarted reducer loses these rows; the driver's
-                # delivery verification below catches the shortfall and
-                # reroutes through the pull-based exchange
+                # delivery verification below catches the shortfall
                 pass
-        t = t.append_column('__h1', pa.array(h1))
-        t = t.append_column('__h2', pa.array(h2))
-        return t.append_column('__bid', pa.array(np.full(t.num_rows, bid, dtype=np.int64)))
+        return t  # payload unchanged: the hashes travelled out of band
 
     mat = ds.map_batches(prep, batch_format='pyarrow', batch_size=None).materialize()
 
     # the hash exchange already happened during the pass above; verify
-    # delivery, then pull the (tiny) winner sets straight from the reducers
+    # delivery, then pull the (tiny) duplicate-occurrence sets
     try:
         received = sum(ray.get([r.total_received.remote(run) for r in reducers]))
+        occs = ray.get([r.dup_occurrences.remote(run) for r in reducers]) \
+            if received == mat.count() else None
+        for r in reducers:
+            r.clear.remote(run)
     except Exception:
-        received = -1  # pool actor died: take the pull-based fallback
-    if received == mat.count():
-        wins = ray.get([r.winners.remote(run) for r in reducers])
-        dup_h1 = np.concatenate([w[0] for w in wins])
-        dup_h2 = np.concatenate([w[1] for w in wins])
-        dup_win = np.concatenate([w[2] for w in wins])
-    else:
+        occs = None  # pool actor died mid-run
+    if occs is None:
         import logging
         logging.getLogger(__name__).warning(
-            'distinct_in_place: push exchange received %d hash rows for %d '
-            'payload rows (a reducer restarted?); re-deriving winners via '
-            'the pull-based exchange', received, mat.count())
-        dup_h1, dup_h2, dup_win = _pull_exchange_winners(mat)
-    for r in reducers:
-        r.clear.remote(run)
+            'distinct_in_place: push exchange delivery could not be verified '
+            '(reducer restart, twin-content blocks, or an id collision); '
+            'rerouting through the keyed payload exchange')
+        return distinct(mat, cols, local_first=False)
 
+    dup_h1 = np.concatenate([o[0] for o in occs])
+    if not len(dup_h1):  # no cross-block duplicates: the payload IS the result
+        return mat
+    dup_h2 = np.concatenate([o[1] for o in occs])
+    dup_bid = np.concatenate([o[2] for o in occs])
     if len(dup_h1) > driver_dup_cap:
-        # duplicate volume too large for a driver-side map: reroute the
+        # duplicate volume too large for a driver-side set: reroute the
         # materialized payload through the keyed-exchange distinct (rows are
         # already block-locally distinct, skip that pass)
         import logging
         logging.getLogger(__name__).info(
-            'distinct_in_place: %d cross-block duplicate hashes exceed the '
-            'driver map cap (%d); falling back to the keyed-exchange distinct',
+            'distinct_in_place: %d cross-block duplicate occurrences exceed '
+            'the driver cap (%d); falling back to the keyed-exchange distinct',
             len(dup_h1), driver_dup_cap)
-        payload = mat.map_batches(
-            lambda t: t.drop_columns(['__h1', '__h2', '__bid']),
-            batch_format='pyarrow')
-        return distinct(payload, cols, local_first=False)
-    winners = {(int(a), int(b)): int(w)
-               for a, b, w in zip(dup_h1, dup_h2, dup_win)}
-    ref = ray.put(winners)
+        return distinct(mat, cols, local_first=False)
+
+    # winner per (h1,h2) group = min block id; every other occurrence is a
+    # loser, identified by EXACT (h1, h2, bid) membership
+    order = np.lexsort((dup_h2, dup_h1))
+    g1, g2, gb = dup_h1[order], dup_h2[order], dup_bid[order]
+    new_grp = np.empty(len(g1), dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = (g1[1:] != g1[:-1]) | (g2[1:] != g2[:-1])
+    grp_id = np.cumsum(new_grp) - 1
+    mins = np.minimum.reduceat(gb, np.nonzero(new_grp)[0])
+    loser_mask = gb != mins[grp_id]
+    losers = {(int(a), int(b), int(w))
+              for a, b, w in zip(g1[loser_mask], g2[loser_mask], gb[loser_mask])}
+    ref = ray.put(losers)
+    cand_h1 = np.unique(dup_h1)
 
     def keep(t: pa.Table) -> pa.Table:
-        wmap = ray.get(ref)
-        if not wmap:
-            return t.drop_columns(['__h1', '__h2', '__bid'])
-        h1 = t['__h1'].to_numpy(zero_copy_only=False)
-        h2 = t['__h2'].to_numpy(zero_copy_only=False)
-        bid = t['__bid'].to_numpy(zero_copy_only=False)
+        if t.num_rows == 0:
+            return t
+        lset = ray.get(ref)
+        h1, h2 = _row_hashes(t)  # same block content -> same hashes as prep
+        bid = _content_bid(h1)
         mask = np.ones(len(h1), dtype=bool)
         # vectorized candidate prefilter: only rows whose h1 is among the
-        # (few) cross-block-duplicate hashes need the python map lookup
-        for i in np.nonzero(np.isin(h1, dup_h1))[0]:
-            w = wmap.get((int(h1[i]), int(h2[i])))
-            if w is not None and w != bid[i]:
+        # (few) duplicated hashes need the python set probe
+        for i in np.nonzero(np.isin(h1, cand_h1))[0]:
+            if (int(h1[i]), int(h2[i]), bid) in lset:
                 mask[i] = False
-        return t.filter(pa.array(mask)).drop_columns(['__h1', '__h2', '__bid'])
+        return t.filter(pa.array(mask))
 
-    return mat.map_batches(keep, batch_format='pyarrow')
+    return mat.map_batches(keep, batch_format='pyarrow', batch_size=None)
 
 
 def distinct(ds: ray.data.Dataset, cols: list[str], num_partitions: int | None = None,

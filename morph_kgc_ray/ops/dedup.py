@@ -189,9 +189,18 @@ class MinHashKernel:
 
 
 def minhash_signatures(ds: ray.data.Dataset, num_perm: int = 64, k: int = 5,
-                       text_col: str = 'text', concurrency: int = 4) -> ray.data.Dataset:
-    # real actor pool (class + constructor args): permutation state built once
-    # per actor; (1, N) autoscales the pool to the input block count
+                       text_col: str = 'text',
+                       concurrency: 'int | None' = None) -> ray.data.Dataset:
+    """``concurrency=None`` (default): task form with a per-process kernel
+    cache — the permutation state (num_perm x 16 B) builds once per worker
+    process and the stage fuses with the read, skipping actor-pool spin-up.
+    Pass an int for a bounded (1, N) autoscaling actor pool (the right form
+    when the per-kernel state is too big for every process)."""
+    if concurrency is None:
+        from .util import cached_kernel
+        return ds.map_batches(
+            cached_kernel(MinHashKernel, num_perm=num_perm, k=k, text_col=text_col),
+            batch_format='pyarrow', batch_size=2048)
     return ds.map_batches(MinHashKernel, fn_constructor_kwargs={
                               'num_perm': num_perm, 'k': k, 'text_col': text_col},
                           batch_format='pyarrow',
@@ -760,7 +769,15 @@ class SimHashKernel:
         return t.append_column('simhash', pa.array(hs, pa.uint64()))
 
 
-def simhash(ds: ray.data.Dataset, text_col: str = 'text', concurrency: int = 4) -> ray.data.Dataset:
+def simhash(ds: ray.data.Dataset, text_col: str = 'text',
+            concurrency: 'int | None' = None) -> ray.data.Dataset:
+    """Task form with per-process kernel cache by default (fuses with the
+    read; word-bit-vector caches are per-process state either way); pass an
+    int for a bounded actor pool."""
+    if concurrency is None:
+        from .util import cached_kernel
+        return ds.map_batches(cached_kernel(SimHashKernel, text_col=text_col),
+                              batch_format='pyarrow', batch_size=2048)
     return ds.map_batches(SimHashKernel, fn_constructor_kwargs={'text_col': text_col},
                           batch_format='pyarrow',
                           concurrency=(1, concurrency), batch_size=2048)

@@ -147,7 +147,16 @@ class LangIdKernel:
         return t.append_column(self.out_col, pa.array(best, pa.string()))
 
 
-def lang_id(ds: ray.data.Dataset, text_col: str = 'text', concurrency: int = 4) -> ray.data.Dataset:
+def lang_id(ds: ray.data.Dataset, text_col: str = 'text',
+            concurrency: 'int | None' = None) -> ray.data.Dataset:
+    """``concurrency=None`` (default) runs the kernel in TASK form with a
+    per-process instance cache — fuses with the read, no pool spin-up; the
+    marker tables are tiny, so one copy per worker process is free.  Pass
+    an int to use a bounded actor pool instead."""
+    if concurrency is None:
+        from .util import cached_kernel
+        return ds.map_batches(cached_kernel(LangIdKernel, text_col=text_col),
+                              batch_format='pyarrow', batch_size=8192)
     return ds.map_batches(LangIdKernel, fn_constructor_kwargs={'text_col': text_col},
                           batch_format='pyarrow',
                           concurrency=(1, concurrency), batch_size=8192)

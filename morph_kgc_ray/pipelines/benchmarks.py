@@ -303,7 +303,7 @@ def lang_id_documents(sf_dir: str):
     """Marker-based language ID.  Oracle-checked: the marker substring
     counts and first-argmax tie-break are replicated exactly in SQL."""
     ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
-    return text_ops.lang_id(ds, concurrency=2).select_columns(['doc_id', 'lang_pred'])
+    return text_ops.lang_id(ds).select_columns(['doc_id', 'lang_pred'])
 
 
 def embedding_neardup_clusters_lsh(sf_dir: str):

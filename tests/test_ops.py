@@ -53,6 +53,19 @@ def test_min_label_clusters_converges_on_long_chain(ray_session):
     assert set(out['cluster_id']) == {1}
 
 
+def test_distinct_in_place_filters_cross_block_losers(ray_session):
+    """Blocks with DISTINCT content sharing some rows: the push exchange
+    must identify the shared rows and exactly one copy must survive."""
+    import ray.data as rd
+    from morph_kgc_ray.engine.dedup import distinct_in_place
+    block_a = [{'s': 'a', 'p': 'p', 'o': '1'}, {'s': 'shared', 'p': 'p', 'o': 'x'}]
+    block_b = [{'s': 'b', 'p': 'p', 'o': '2'}, {'s': 'shared', 'p': 'p', 'o': 'x'}]
+    ds = rd.from_items(block_a).union(rd.from_items(block_b))
+    out = distinct_in_place(ds, ['s', 'p', 'o']).to_pandas()
+    assert len(out) == 3
+    assert (out['s'] == 'shared').sum() == 1
+
+
 def test_distinct_in_place_fallback_above_dup_cap(ray_session):
     """Above driver_dup_cap the broadcast-map path must reroute to the keyed
     exchange and still produce an exact distinct."""
@@ -66,10 +79,11 @@ def test_distinct_in_place_fallback_above_dup_cap(ray_session):
         assert len(out.drop_duplicates()) == 40
 
 
-def test_hash_bucket_state_winners_and_idempotent_retry():
-    """Plain-class check of the overlapped-exchange reducer: cross-block
-    duplicates win by min block id, within-block rows don't count as dups,
-    and a retried producer REPLACES its prior submission."""
+def test_hash_bucket_state_occurrences_and_idempotent_retry():
+    """Plain-class check of the overlapped-exchange reducer: every
+    occurrence of a cross-block duplicate hash is reported with its block
+    id, within-block rows don't count as dups, and a retried producer
+    REPLACES its prior submission."""
     from morph_kgc_ray.engine.dedup import _HashBucketState
     s = _HashBucketState()
     s.add('r1', 7, np.array([1, 2], dtype=np.uint64), np.array([10, 20], dtype=np.uint64))
@@ -78,8 +92,8 @@ def test_hash_bucket_state_winners_and_idempotent_retry():
     s.add('r1', 9, np.array([1], dtype=np.uint64), np.array([99], dtype=np.uint64))
     # a different run's identical rows are INVISIBLE to r1 (pool sharing)
     s.add('r2', 99, np.array([1], dtype=np.uint64), np.array([10], dtype=np.uint64))
-    h1, h2, win = s.winners('r1')
-    assert list(h1) == [2] and list(h2) == [20] and list(win) == [3]
+    h1, h2, bid = s.dup_occurrences('r1')
+    assert list(h1) == [2, 2] and list(h2) == [20, 20] and sorted(bid) == [3, 7]
     assert s.total_received('r1') == 5
     # retry of block 9 replaces, never double-counts
     s.add('r1', 9, np.array([1], dtype=np.uint64), np.array([99], dtype=np.uint64))
@@ -89,19 +103,14 @@ def test_hash_bucket_state_winners_and_idempotent_retry():
     assert s.total_received('r2') == 1
 
 
-def test_pull_exchange_winners_matches_push(ray_session):
-    """The pull-based fallback (used when push delivery can't be verified)
-    must find the same cross-block winners as the reducer state."""
-    import ray.data as rd
-    from morph_kgc_ray.engine.dedup import _pull_exchange_winners
-    rows = ([{'__h1': 2, '__h2': 20, '__bid': 7}, {'__h1': 1, '__h2': 10, '__bid': 7}]
-            + [{'__h1': 2, '__h2': 20, '__bid': 3}, {'__h1': 5, '__h2': 50, '__bid': 3}])
-    mat = rd.from_items(rows).repartition(2).map_batches(
-        lambda t: t.select(['__h1', '__h2', '__bid']).cast(
-            pa.schema([('__h1', pa.uint64()), ('__h2', pa.uint64()), ('__bid', pa.int64())])),
-        batch_format='pyarrow').materialize()
-    h1, h2, win = _pull_exchange_winners(mat)
-    assert list(h1) == [2] and list(h2) == [20] and list(win) == [3]
+def test_content_bid_properties():
+    """Block ids derive from block content: retry-stable (same content ->
+    same id), order-sensitive (a permuted block is a different block)."""
+    from morph_kgc_ray.engine.dedup import _content_bid
+    a = np.array([5, 9, 1], dtype=np.uint64)
+    assert _content_bid(a) == _content_bid(a.copy())
+    assert _content_bid(a) != _content_bid(a[::-1].copy())
+    assert _content_bid(np.array([], dtype=np.uint64)) != _content_bid(a)
 
 
 def test_min_label_clusters_distributed_converges(ray_session):
