@@ -141,6 +141,77 @@ def test_very_long_string_segments():
     assert df['LONGSTR'][0] == s
 
 
+def test_sav_property_random_grids():
+    """Round-trip random variable grids through the spec-built writer:
+    mixed numeric/string columns, random widths (incl. multi-element
+    strings), sysmiss holes, raw AND bytecode-compressed data, across
+    several shapes."""
+    import random
+
+    from morph_kgc_ray.sources.sav import read_sav
+    random.seed(7)
+    for trial in range(10):
+        n_rows = random.randint(1, 9)
+        specs = []  # (name, width) ; width 0 = numeric
+        for c in range(random.randint(1, 5)):
+            if random.random() < 0.5:
+                specs.append((f'NUM{c}', 0))
+            else:
+                specs.append((f'STR{c}', random.randint(1, 20)))
+        data = []
+        for _ in range(n_rows):
+            row = []
+            for name, width in specs:
+                if width == 0:
+                    row.append(SYSMIS if random.random() < 0.15
+                               else round(random.uniform(-1e6, 1e6), 3))
+                else:
+                    n = random.randint(0, width)
+                    row.append(''.join(random.choice('abcXYZ 09_') for _ in range(n)).rstrip())
+            data.append(row)
+        compression = random.choice((0, 1))
+
+        case_size = sum(1 if w == 0 else (w + 7) // 8 for _, w in specs)
+        out = _header(case_size, n_rows, compression)
+        for name, width in specs:
+            out += _var(width, name)
+            out += _var(-1) * (0 if width == 0 else (width + 7) // 8 - 1)
+        out += _END
+        raw = b''
+        for row in data:
+            for (name, width), v in zip(specs, row):
+                if width == 0:
+                    raw += struct.pack('<d', v)
+                else:
+                    raw += v.encode().ljust((width + 7) // 8 * 8)
+        if compression == 0:
+            out += raw
+        else:
+            # bytecode: every element as a 253-literal (always valid)
+            n_el = len(raw) // 8
+            body = b''
+            i = 0
+            while i < n_el:
+                chunk = min(8, n_el - i)
+                body += bytes([253] * chunk + [0] * (8 - chunk))
+                body += raw[i * 8:(i + chunk) * 8]
+                i += chunk
+            out += body + bytes([252] + [0] * 7)
+
+        df = read_sav(out)
+        assert list(df.columns) == [name for name, _ in specs], trial
+        for r in range(n_rows):
+            for (name, width), v in zip(specs, data[r]):
+                got = df[name][r]
+                if width == 0:
+                    if v == SYSMIS:
+                        assert np.isnan(got), (trial, r, name)
+                    else:
+                        assert got == v, (trial, r, name)
+                else:
+                    assert got == v, (trial, r, name, got)
+
+
 def test_sav_through_read_source(ray_session, tmp_path):
     from morph_kgc_ray.config import Config
     from morph_kgc_ray.sources.readers import read_source
