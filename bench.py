@@ -207,7 +207,7 @@ def main() -> None:
     # html extraction is compute-bound: fixed ~6000 pages (~12 MB) per block
     # regardless of CPU count, so both scaling levels process the IDENTICAL
     # block structure and no level holds oversized task outputs in memory
-    nblocks = max(2 * NUM_CPUS, HEADLINE_ROWS // 6000)
+    nblocks = int(os.environ.get('GRAFT_NBLOCKS', 0)) or max(2 * NUM_CPUS, HEADLINE_ROWS // 6000)
     # task-form emit stage (concurrency=None): fused with the read, no
     # actor pool to size; override via GRAFT_CONC_FRAC for the actor variant
     conc_frac = os.environ.get('GRAFT_CONC_FRAC')

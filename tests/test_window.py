@@ -1,0 +1,99 @@
+"""Sessionization + as-of join operators (ops/window.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from morph_kgc_ray.ops.window import asof_join_prior, sessionize
+
+US = 1_000_000
+
+
+def _events(rows):
+    """rows: (event_id, user_id, ts_seconds, event_type, value)"""
+    return ray.data.from_arrow(pa.table({
+        'event_id': pa.array([r[0] for r in rows], pa.int64()),
+        'user_id': pa.array([r[1] for r in rows], pa.int64()),
+        'ts': pa.array([r[2] * US for r in rows], pa.timestamp('us')),
+        'event_type': pa.array([r[3] for r in rows], pa.string()),
+        'value': pa.array([r[4] for r in rows], pa.float64()),
+    }))
+
+
+@pytest.mark.parametrize('small', [True, False])
+def test_sessionize_gap_boundaries(ray_session, small):
+    # user 7: events at t=0, 100 (inside gap), 301 (new session: gap 201 > 200)
+    # user 9: single event
+    ds = _events([(1, 7, 0, 'view', 1.0), (2, 7, 100, 'click', 2.5),
+                  (3, 7, 301, 'view', 0.25), (4, 9, 50, 'view', 10.0)])
+    out = sessionize(ds, gap_us=200 * US, value_col='value',
+                     small=small).to_pandas()
+    out = out.sort_values(['user_id', 'session_id']).reset_index(drop=True)
+    assert list(out['user_id']) == [7, 7, 9]
+    assert list(out['session_id']) == [1, 2, 1]
+    assert list(out['n_events']) == [2, 1, 1]
+    assert list(out['start_us']) == [0, 301 * US, 50 * US]
+    assert list(out['duration_us']) == [100 * US, 0, 0]
+    assert list(out['sum_value_cents']) == [350, 25, 1000]
+
+
+def test_sessionize_exact_gap_is_same_session(ray_session):
+    # gap equal to the threshold stays in the session (<= gap, not <)
+    ds = _events([(1, 1, 0, 'view', 0.0), (2, 1, 200, 'view', 0.0)])
+    out = sessionize(ds, gap_us=200 * US, small=True).to_pandas()
+    assert len(out) == 1
+    assert out['n_events'][0] == 2
+
+
+@pytest.mark.parametrize('small', [True, False])
+def test_asof_prior_view_per_user(ray_session, small):
+    ds = _events([
+        (1, 7, 0, 'view', 0.0),     # view A
+        (2, 7, 10, 'click', 0.0),   # -> view A
+        (3, 7, 20, 'view', 0.0),    # view B
+        (4, 7, 30, 'click', 0.0),   # -> view B
+        (5, 9, 5, 'click', 0.0),    # no prior view for user 9 -> null
+        (6, 9, 6, 'view', 0.0),
+        (7, 9, 7, 'click', 0.0),    # -> event 6
+    ])
+    out = asof_join_prior(ds, small=small).to_pandas()
+    out = out.sort_values('click_id').reset_index(drop=True)
+    assert list(out['click_id']) == [2, 4, 5, 7]
+    matched = out['view_event_id']
+    assert list(matched[:2]) == [1, 3]
+    assert pd.isna(matched[2])  # left-outer: no prior view
+    assert matched[3] == 6
+    assert out['view_ts_us'][3] == 6 * US
+
+
+def test_asof_same_timestamp_tie_order(ray_session):
+    # a view at the SAME microsecond with a smaller event_id counts as prior;
+    # with a larger event_id it does not
+    ds = _events([(1, 1, 5, 'view', 0.0), (2, 1, 5, 'click', 0.0),
+                  (4, 2, 5, 'view', 0.0), (3, 2, 5, 'click', 0.0)])
+    out = asof_join_prior(ds, small=True).to_pandas().set_index('click_id')
+    assert out.loc[2, 'view_event_id'] == 1
+    assert pd.isna(out.loc[3, 'view_event_id'])
+
+
+def test_window_cross_user_isolation_distributed(ray_session):
+    # 40 users x 3 events; the view of user u must never attribute a click
+    # of user u+1 even when co-located in one hash bucket
+    rows = []
+    eid = 0
+    for u in range(40):
+        rows.append((eid, u, 1000 * u, 'view', 1.0)); eid += 1
+        rows.append((eid, u, 1000 * u + 1, 'click', 1.0)); eid += 1
+        rows.append((eid, u, 1000 * u + 2, 'purchase', 1.0)); eid += 1
+    ds = _events(rows)
+    out = asof_join_prior(ds, small=False, num_partitions=4).to_pandas()
+    assert len(out) == 40
+    assert (out['view_event_id'] == out['click_id'] - 1).all()
+    sess = sessionize(ds, gap_us=10 * US, small=False,
+                      num_partitions=4).to_pandas()
+    assert len(sess) == 40  # one session per user
+    assert (sess['n_events'] == 3).all()
+    assert sorted(sess['user_id']) == list(range(40))
