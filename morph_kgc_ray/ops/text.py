@@ -46,31 +46,80 @@ def token_count(ds: ray.data.Dataset, text_col: str = 'text', out_col: str = 'n_
 # quality scoring
 # --------------------------------------------------------------------------
 
+def _class_luts():
+    """256-entry byte LUTs replicating the RE2 character classes the quality
+    heuristic counts — RE2's Perl classes are ASCII-only (\\w = [0-9A-Za-z_],
+    \\s = [\\t\\n\\f\\r ]), so byte classification is EXACT on the utf8
+    buffer: ASCII bytes classify directly, a non-ASCII lead byte (>= 0xC0)
+    is one codepoint that is neither \\w nor \\s (it matches [^\\w\\s]), and
+    continuation bytes (0x80-0xBF) are not codepoint starts."""
+    luts = np.zeros((5, 256), dtype=np.int64)  # chars, punct, upper, digit, space
+    w = set(b'0123456789_') | set(range(ord('a'), ord('z') + 1)) \
+        | set(range(ord('A'), ord('Z') + 1))
+    s = set(b'\t\n\f\r ')
+    for b in range(0x80):
+        luts[0, b] = 1
+        luts[1, b] = int(b not in w and b not in s)
+        luts[2, b] = int(ord('A') <= b <= ord('Z'))
+        luts[3, b] = int(ord('0') <= b <= ord('9'))
+        luts[4, b] = int(b in s)
+    for b in range(0xC0, 256):  # non-ASCII codepoint start
+        luts[0, b] = 1
+        luts[1, b] = 1
+    return luts
+
+
+_CLASS_LUTS = _class_luts()
+
+
+def char_class_counts(col) -> 'dict[str, np.ndarray]':
+    """Per-row codepoint/punct/upper/digit/space counts over a string column
+    in ONE pass over the raw utf8 buffer (replaces four re2 scans; exact
+    per the _class_luts semantics proof).  Returns int64 numpy arrays."""
+    arr = pc.fill_null(col, '')
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2] or b'', dtype=np.uint8)[
+        offs[0]:offs[-1]]
+    offs = offs - offs[0]
+    out = {}
+    names = ('n_chars', 'n_punct', 'n_upper', 'n_digit', 'n_space')
+    for i, name in enumerate(names):
+        # cumsum + gather is reduceat without its empty-segment quirk
+        csum = np.zeros(len(data) + 1, dtype=np.int64)
+        np.cumsum(_CLASS_LUTS[i][data], out=csum[1:])
+        out[name] = csum[offs[1:]] - csum[offs[:-1]]
+    return out
+
+
+def quality_score_np(counts: 'dict[str, np.ndarray]') -> np.ndarray:
+    """1 - min(1, (punct + digit + 0.5*upper) / max(chars, 1)) — float64 ops
+    in the same association order as the previous pyarrow expression (and
+    the SQL oracle), so results are bit-identical."""
+    nz = np.maximum(counts['n_chars'], 1).astype(np.float64)
+    mix = (counts['n_punct'].astype(np.float64) + counts['n_digit'].astype(np.float64)) \
+        + counts['n_upper'].astype(np.float64) * 0.5
+    return 1.0 - np.minimum(1.0, mix / nz)
+
+
 def quality_stats(ds: ray.data.Dataset, text_col: str = 'text') -> ray.data.Dataset:
     """Adds length/punctuation/uppercase/digit counts and a simple
     quality_score in [0,1] (heuristics typical of web-corpus filtering)."""
 
     def fn(t: pa.Table) -> pa.Table:
-        col = t[text_col]
-        n_chars = pc.cast(pc.utf8_length(col), pa.int64())
-        n_punct = pc.cast(pc.count_substring_regex(col, r'[^\w\s]'), pa.int64())
-        n_upper = pc.cast(pc.count_substring_regex(col, r'[A-Z]'), pa.int64())
-        n_digit = pc.cast(pc.count_substring_regex(col, r'[0-9]'), pa.int64())
-        n_space = pc.cast(pc.count_substring_regex(col, r'\s'), pa.int64())
-        nz = pc.max_element_wise(n_chars, pa.scalar(1, pa.int64()))
-        nzf = pc.cast(nz, pa.float64())
-        punct_ratio = pc.divide(pc.cast(n_punct, pa.float64()), nzf)
-        upper_ratio = pc.divide(pc.cast(n_upper, pa.float64()), nzf)
-        digit_ratio = pc.divide(pc.cast(n_digit, pa.float64()), nzf)
-        score = pc.subtract(pa.scalar(1.0), pc.min_element_wise(
-            pa.scalar(1.0),
-            pc.add(pc.add(punct_ratio, digit_ratio), pc.multiply(upper_ratio, pa.scalar(0.5)))))
-        t = t.append_column('n_chars_computed', n_chars)
-        t = t.append_column('n_punct', n_punct)
-        t = t.append_column('n_upper', n_upper)
-        t = t.append_column('n_digit', n_digit)
-        t = t.append_column('n_space', n_space)
-        return t.append_column('quality_score', score)
+        c = char_class_counts(t[text_col])
+        nz = np.maximum(c['n_chars'], 1).astype(np.float64)
+        score = 1.0 - np.minimum(
+            1.0, (c['n_punct'] / nz + c['n_digit'] / nz) + (c['n_upper'] / nz) * 0.5)
+        t = t.append_column('n_chars_computed', pa.array(c['n_chars']))
+        t = t.append_column('n_punct', pa.array(c['n_punct']))
+        t = t.append_column('n_upper', pa.array(c['n_upper']))
+        t = t.append_column('n_digit', pa.array(c['n_digit']))
+        t = t.append_column('n_space', pa.array(c['n_space']))
+        return t.append_column('quality_score', pa.array(score))
 
     return ds.map_batches(fn, batch_format='pyarrow')
 
@@ -87,15 +136,7 @@ def quality_filter(ds: ray.data.Dataset, text_col: str = 'text', lang_col: str =
 
     def fn(t: pa.Table) -> pa.Table:
         col = t[text_col]
-        n_chars = pc.cast(pc.utf8_length(col), pa.int64())
-        n_punct = pc.cast(pc.count_substring_regex(col, r'[^\w\s]'), pa.float64())
-        n_upper = pc.cast(pc.count_substring_regex(col, r'[A-Z]'), pa.float64())
-        n_digit = pc.cast(pc.count_substring_regex(col, r'[0-9]'), pa.float64())
-        nzf = pc.cast(pc.max_element_wise(n_chars, pa.scalar(1, pa.int64())), pa.float64())
-        score = pc.subtract(pa.scalar(1.0), pc.min_element_wise(
-            pa.scalar(1.0),
-            pc.divide(pc.add(pc.add(n_punct, n_digit),
-                             pc.multiply(n_upper, pa.scalar(0.5))), nzf)))
+        score = pa.array(quality_score_np(char_class_counts(col)))
         trimmed = pc.utf8_trim_whitespace(col)
         n_tok = pc.if_else(pc.equal(trimmed, ''), pa.scalar(0, pa.int64()),
                            pc.cast(pc.list_value_length(
@@ -130,13 +171,23 @@ class LangIdKernel:
     """Actor-pool language-ID stage: marker lists prepared once per actor
     (__init__), vectorized substring counting per batch (__call__)."""
 
-    def __init__(self, text_col: str = 'text', out_col: str = 'lang_pred'):
+    def __init__(self, text_col: str = 'text', out_col: str = 'lang_pred',
+                 sample_chars: 'int | None' = None):
         self.text_col = text_col
         self.out_col = out_col
         self.langs = list(_LANG_MARKERS)
+        # detection over the first N codepoints only: the standard
+        # corpus-scale trade-off (the 56 marker scans dominate the web
+        # pipeline's emit kernel on full page bodies; a prefix sample cuts
+        # the scanned bytes ~6x with near-identical predictions).  None =
+        # exact full-text counts (the documents-table oracle contract).
+        self.sample_chars = sample_chars
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        lowered = pc.utf8_lower(t[self.text_col])
+        col = t[self.text_col]
+        if self.sample_chars:
+            col = pc.utf8_slice_codeunits(col, 0, self.sample_chars)
+        lowered = pc.utf8_lower(col)
         padded = pc.binary_join_element_wise(' ', lowered, ' ', '')
         scores = np.zeros((t.num_rows, len(self.langs)), dtype=np.int64)
         for j, lang in enumerate(self.langs):

@@ -848,7 +848,7 @@ def _web_kg_oracle_sql(pages_glob: str) -> str:
         UNION
         SELECT 'p_langdet', {subj}, '<{SCHEMA_DETECTED_LANG}>',
                ('"' || {langdet} || '"')
-        FROM (SELECT url, {_langid_score_columns('text')} FROM pages)
+        FROM (SELECT url, {_langid_score_columns('substr(text, 1, 256)')} FROM pages)
         UNION
         SELECT 'p_quality', {subj}, '<{SCHEMA_QUALITY}>',
                ('"' || {quality} || '"') FROM pages

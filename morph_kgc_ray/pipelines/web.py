@@ -120,7 +120,9 @@ class TripleEmitKernel:
         self.lang_obj = compile_term_plan(RML_TEMPLATE, '{lang}', 'object', termtype=RML_LITERAL)
         self.text_obj = compile_term_plan(RML_TEMPLATE, '{text}', 'object', termtype=RML_LITERAL)
         from ..ops.text import LangIdKernel
-        self._langid_kernel = LangIdKernel()
+        # prefix-sampled detection (256 codepoints): the flagship oracle's
+        # langid CTE slices identically (_web_kg_oracle_sql)
+        self._langid_kernel = LangIdKernel(sample_chars=256)
 
     def langid(self, t: pa.Table):
         out = self._langid_kernel(t.select(['text']))
@@ -212,15 +214,11 @@ class TripleEmitKernel:
         lang_pred = self.langid(t)
         emit('p_langdet', SCHEMA_DETECTED_LANG,
              ljoin('"', lang_pred.cast(pa.large_string()), '"'))
-        import pyarrow.compute as pc
-        col = t['text']
-        n_chars = pc.max_element_wise(pc.cast(pc.utf8_length(col), pa.float64()), 1.0)
-        n_punct = pc.cast(pc.count_substring_regex(col, r'[^\w\s]'), pa.float64())
-        n_digit = pc.cast(pc.count_substring_regex(col, r'[0-9]'), pa.float64())
-        n_upper = pc.cast(pc.count_substring_regex(col, r'[A-Z]'), pa.float64())
-        score = pc.subtract(1.0, pc.min_element_wise(
-            1.0, pc.divide(pc.add(pc.add(n_punct, n_digit), pc.multiply(n_upper, 0.5)), n_chars)))
-        score_lit = [f'"{v:.4f}"' for v in score.to_pylist()]
+        # one byte-LUT pass over the utf8 buffer replaces three re2 scans
+        # (exact per ops.text._class_luts; float order matches the oracle)
+        from ..ops.text import char_class_counts, quality_score_np
+        score = quality_score_np(char_class_counts(t['text']))
+        score_lit = [f'"{v:.4f}"' for v in score]
         emit('p_quality', SCHEMA_QUALITY, pa.array(score_lit, pa.large_string()))
 
         # --- mention triples (vectorized matches above) ---

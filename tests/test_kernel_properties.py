@@ -56,3 +56,28 @@ def test_template_segments_roundtrip(const, ref):
     rebuilt = ''.join(v if k == 'const' else '{' + v + '}' for k, v in segs)
     assert rebuilt == template
     assert ('ref', ref) in segs
+
+
+@given(st.lists(st.one_of(st.none(), st.text(max_size=60)), max_size=40))
+def test_char_class_counts_match_re2(values):
+    """The byte-LUT single-pass counter (ops.text.char_class_counts) must
+    agree with pyarrow's re2 kernels on every class it replaces, for
+    arbitrary unicode text incl. nulls/empties (RE2 Perl classes are
+    ASCII-only; non-ASCII codepoints match [^\\w\\s])."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from morph_kgc_ray.ops.text import char_class_counts
+
+    col = pa.array(values, pa.string())
+    got = char_class_counts(col)
+    filled = pc.fill_null(col, '')
+    ref = {
+        'n_chars': pc.utf8_length(filled),
+        'n_punct': pc.count_substring_regex(filled, r'[^\w\s]'),
+        'n_upper': pc.count_substring_regex(filled, r'[A-Z]'),
+        'n_digit': pc.count_substring_regex(filled, r'[0-9]'),
+        'n_space': pc.count_substring_regex(filled, r'\s'),
+    }
+    for k, v in ref.items():
+        assert got[k].tolist() == v.to_numpy(zero_copy_only=False).astype(np.int64).tolist(), k
