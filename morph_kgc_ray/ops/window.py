@@ -120,6 +120,62 @@ def sessionize(ds: ray.data.Dataset, key: str = 'user_id', ts_col: str = 'ts',
     return ds.map_batches(scan, batch_format='pyarrow', batch_size=None)
 
 
+def rolling_agg(ds: ray.data.Dataset, key: str = 'user_id', ts_col: str = 'ts',
+                id_col: str = 'event_id', value_col: str = 'value',
+                window: int = 3,
+                num_partitions: 'int | None' = None,
+                small: bool = False) -> ray.data.Dataset:
+    """Per-key rolling aggregate over the last ``window`` events (current
+    row inclusive), in (ts, id) order: running event rank, rolling sum and
+    rolling min of the cent-quantized value.  One row out per event —
+    the feature-engineering shape (each event annotated with its trailing
+    window), computed as cumsum differences / sliding-minimum over the
+    sorted block, never a per-row loop."""
+    ds = _keyed_blocks(ds.select_columns([key, ts_col, id_col, value_col]),
+                       key, num_partitions, small)
+
+    def scan(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          key: pa.array([], pa.int64()),
+                          'ts_us': pa.array([], pa.int64()),
+                          'rn': pa.array([], pa.int64()),
+                          'roll_sum_cents': pa.array([], pa.int64()),
+                          'roll_min_cents': pa.array([], pa.int64())})
+        if '__bucket' in t.column_names:
+            t = t.drop_columns(['__bucket'])
+        if t.num_rows == 0:
+            return empty
+        t, kn, ts, _, seg_first = _sorted_block(t, key, ts_col, id_col)
+        n = t.num_rows
+        idx = np.arange(n)
+        rn = idx - seg_first + 1  # 1-based rank within the key
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.floor(pc.multiply(
+            t[value_col].combine_chunks(), pa.scalar(100.0))),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        # rolling sum: csum[i+1] - csum[window start], clipped to the segment
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        w_start = np.maximum(idx - (window - 1), seg_first)
+        roll_sum = csum[idx + 1] - csum[w_start]
+        # rolling min via a (n x window) strided gather over a padded copy
+        # (window is a small constant; out-of-window / out-of-segment slots
+        # are masked to +inf)
+        pad = np.full(window - 1, np.iinfo(np.int64).max, dtype=np.int64)
+        padded = np.concatenate((pad, cents))
+        gather = np.lib.stride_tricks.sliding_window_view(padded, window)
+        pos = idx[:, None] - np.arange(window - 1, -1, -1)[None, :]
+        masked = np.where(pos >= w_start[:, None], gather, np.iinfo(np.int64).max)
+        roll_min = masked.min(axis=1)
+        return pa.table({id_col: pa.array(ids),
+                         key: pa.array(kn),
+                         'ts_us': pa.array(ts),
+                         'rn': pa.array(rn.astype(np.int64)),
+                         'roll_sum_cents': pa.array(roll_sum.astype(np.int64)),
+                         'roll_min_cents': pa.array(roll_min.astype(np.int64))})
+
+    return ds.map_batches(scan, batch_format='pyarrow', batch_size=None)
+
+
 def asof_join_prior(ds: ray.data.Dataset, key: str = 'user_id',
                     ts_col: str = 'ts', id_col: str = 'event_id',
                     type_col: str = 'event_type',

@@ -247,6 +247,17 @@ def asof_view_attribution_events(sf_dir: str):
     return out.map_batches(no_nulls, batch_format='pyarrow')
 
 
+def rolling_agg_events(sf_dir: str):
+    """Per-user trailing-3-event rolling sum/min (feature-engineering
+    windowed aggregate; exact integer cents)."""
+    from ..ops.window import rolling_agg
+    ds = read_parquet_clean(_p(sf_dir, 'events'),
+                            columns=['user_id', 'ts', 'event_id', 'value'])
+    return rolling_agg(ds, key='user_id', ts_col='ts', id_col='event_id',
+                       value_col='value', window=3,
+                       small=_small_table(sf_dir, 'events'))
+
+
 def top_customers(sf_dir: str):
     from ..ops.agg import grouped_agg
     ds = read_parquet_clean(_p(sf_dir, 'orders'), columns=['o_custkey'])
@@ -532,6 +543,7 @@ QUERIES = {
     'events_hourly_user_agg': events_hourly_user_agg,
     'sessionize_events': sessionize_events,
     'asof_view_attribution_events': asof_view_attribution_events,
+    'rolling_agg_events': rolling_agg_events,
     'top_customers': top_customers,
     'fingerprint_documents': fingerprint_documents,
     'ann_topk_embeddings': ann_topk_embeddings,
@@ -659,6 +671,21 @@ ORACLE_SQL = {
                MAX(ts_us) - MIN(ts_us) AS duration_us,
                CAST(SUM(value_cents) AS BIGINT) AS sum_value_cents
         FROM s GROUP BY user_id, session_id
+    ''',
+    # trailing-window rolling aggregate (3 events incl. current, (ts_us,
+    # event_id) order, cent-quantized values)
+    'rolling_agg_events': '''
+        WITH e AS (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   CAST(FLOOR(value * 100) AS BIGINT) AS value_cents
+            FROM events)
+        SELECT event_id, user_id, ts_us,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+               CAST(SUM(value_cents) OVER (w ROWS BETWEEN 2 PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS roll_sum_cents,
+               CAST(MIN(value_cents) OVER (w ROWS BETWEEN 2 PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS roll_min_cents
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
     ''',
     # as-of join: each click's most recent at-or-prior view per user
     # ((ts_us, event_id) tie order); left-outer (nulls when no prior view)

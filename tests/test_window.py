@@ -97,3 +97,18 @@ def test_window_cross_user_isolation_distributed(ray_session):
     assert len(sess) == 40  # one session per user
     assert (sess['n_events'] == 3).all()
     assert sorted(sess['user_id']) == list(range(40))
+
+
+@pytest.mark.parametrize('small', [True, False])
+def test_rolling_agg_window_and_segment_clipping(ray_session, small):
+    from morph_kgc_ray.ops.window import rolling_agg
+    # user 1: values 1.00, 3.00, 2.00, 5.00 -> trailing-3 sums/mins
+    # user 2: single event (window clipped to the segment)
+    ds = _events([(1, 1, 0, 'view', 1.0), (2, 1, 1, 'view', 3.0),
+                  (3, 1, 2, 'view', 2.0), (4, 1, 3, 'view', 5.0),
+                  (5, 2, 0, 'view', 9.0)])
+    out = rolling_agg(ds, window=3, small=small).to_pandas()
+    out = out.sort_values('event_id').reset_index(drop=True)
+    assert list(out['rn']) == [1, 2, 3, 4, 1]
+    assert list(out['roll_sum_cents']) == [100, 400, 600, 1000, 900]
+    assert list(out['roll_min_cents']) == [100, 100, 100, 200, 900]
