@@ -43,6 +43,73 @@ def token_count(ds: ray.data.Dataset, text_col: str = 'text', out_col: str = 'n_
 
 
 # --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+# applied IN ORDER, each pattern over the previous pattern's output (emails
+# first so their digits never half-match the looser phone pattern; IPs
+# before phones for the same reason)
+PII_PATTERNS = (
+    ('email', r'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>'),
+    ('ipv4', r'\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>'),
+    ('phone', r'\+?[0-9][0-9() \-]{6,}[0-9]', '<PHONE>'),
+)
+
+
+def redact_pii(ds: ray.data.Dataset, text_col: str = 'text',
+               out_col: str = 'text_redacted',
+               patterns=PII_PATTERNS, counts: bool = True) -> ray.data.Dataset:
+    """Training-corpus PII scrubbing: sequential vectorized re2 passes
+    replacing each pattern with its placeholder; ``counts=True`` adds an
+    ``n_<name>`` match-count column per pattern (counted on the text as it
+    stood BEFORE that pattern's replacement — the sequential semantics the
+    SQL oracle mirrors with nested regexp_replace)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = pc.fill_null(t[text_col], '')
+        for name, rx, repl in patterns:
+            if counts:
+                t = t.append_column(
+                    f'n_{name}', pc.cast(pc.count_substring_regex(col, rx), pa.int64()))
+            col = pc.replace_substring_regex(col, rx, repl)
+        return t.append_column(out_col, col)
+
+    return ds.map_batches(fn, batch_format='pyarrow')
+
+
+# --------------------------------------------------------------------------
+# paragraph-level boilerplate detection (CCNet-style)
+# --------------------------------------------------------------------------
+
+def paragraph_counts(ds: ray.data.Dataset, text_col: str = 'text',
+                     sep: str = '\n', min_count: int = 2,
+                     small: bool = False) -> ray.data.Dataset:
+    """Cross-corpus repeated-paragraph detection: explode each document
+    into paragraphs (vectorized split + flatten — one output row per
+    paragraph), aggregate occurrence counts with block-local partials
+    (ops.agg), keep paragraphs appearing >= ``min_count`` times.  The
+    classic boilerplate-removal prepass (nav bars, cookie banners,
+    newsletter footers repeat across pages; prose does not)."""
+    from .agg import grouped_agg
+
+    def explode(t: pa.Table) -> pa.Table:
+        paras = pc.split_pattern(pc.fill_null(t[text_col], ''), sep)
+        return pa.table({'paragraph': pc.list_flatten(paras)})
+
+    agg = grouped_agg(ds.map_batches(explode, batch_format='pyarrow'),
+                      ['paragraph'], [(None, 'count', 'n_occurrences')],
+                      small=small)
+    if min_count <= 1:
+        return agg
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t['n_occurrences'],
+                                         pa.scalar(min_count, pa.int64())))
+
+    return agg.map_batches(keep, batch_format='pyarrow')
+
+
+# --------------------------------------------------------------------------
 # quality scoring
 # --------------------------------------------------------------------------
 

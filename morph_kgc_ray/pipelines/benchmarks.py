@@ -247,6 +247,56 @@ def asof_view_attribution_events(sf_dir: str):
     return out.map_batches(no_nulls, batch_format='pyarrow')
 
 
+def pii_redact_documents(sf_dir: str):
+    """PII scrubbing over documents with deterministic synthetic PII
+    (email/phone/IP derived from doc_id, mirrored in the SQL oracle so the
+    redaction semantics are actually exercised)."""
+    import numpy as np
+
+    from ..ops.text import redact_pii
+    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
+
+    def inject(t: pa.Table) -> pa.Table:
+        did = t['doc_id'].to_numpy(zero_copy_only=False)
+        suffix = [f' contact user{d}@mail.example.com or call +1 555-01'
+                  f'{d % 100:02d} node 10.0.{d % 256}.{d % 100}' for d in did]
+        text2 = pc.binary_join_element_wise(
+            pc.fill_null(t['text'], ''), pa.array(suffix, pa.string()), '')
+        return pa.table({'doc_id': t['doc_id'], 'text': text2})
+
+    out = redact_pii(ds.map_batches(inject, batch_format='pyarrow'))
+    return out.map_batches(lambda t: t.drop_columns(['text']),
+                           batch_format='pyarrow')
+
+
+def boilerplate_paragraphs_pages(sf_dir: str):
+    """CCNet-style boilerplate detection over the synthetic page corpus:
+    explode paragraphs, count occurrences corpus-wide, keep repeats.  Two
+    boilerplate footers are injected by url-length parity (mirrored in
+    SQL), so the two result rows' counts encode the whole corpus."""
+    import numpy as np
+
+    from .pages import pages_parquet_dir
+    from ..ops.text import paragraph_counts
+    sf = sf_dir.rstrip('/').rsplit('sf', 1)[-1]
+    rows = {'0.001': 1000, '0.01': 5000, '0.1': 20000}.get(sf, 2000)
+    pages = read_parquet_clean(pages_parquet_dir(rows), columns=['url', 'text'])
+
+    def inject(t: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(t['url']).to_numpy(zero_copy_only=False)
+        suffix = np.where(lens % 2 == 0, '\n' + _BOILER_A, '\n' + _BOILER_B)
+        text2 = pc.binary_join_element_wise(
+            pc.fill_null(t['text'], ''), pa.array(suffix, pa.string()), '')
+        return pa.table({'text': text2})
+
+    return paragraph_counts(pages.map_batches(inject, batch_format='pyarrow'),
+                            min_count=2, small=True)
+
+
+_BOILER_A = 'Subscribe to our newsletter'
+_BOILER_B = 'Cookie policy: accept to continue'
+
+
 def rolling_agg_events(sf_dir: str):
     """Per-user trailing-3-event rolling sum/min (feature-engineering
     windowed aggregate; exact integer cents)."""
@@ -544,6 +594,8 @@ QUERIES = {
     'sessionize_events': sessionize_events,
     'asof_view_attribution_events': asof_view_attribution_events,
     'rolling_agg_events': rolling_agg_events,
+    'pii_redact_documents': pii_redact_documents,
+    'boilerplate_paragraphs_pages': boilerplate_paragraphs_pages,
     'top_customers': top_customers,
     'fingerprint_documents': fingerprint_documents,
     'ann_topk_embeddings': ann_topk_embeddings,
@@ -887,6 +939,31 @@ def _web_kg_oracle_sql(pages_glob: str) -> str:
     '''
 
 
+def _pii_oracle_sql() -> str:
+    """Sequential redaction replicated with nested regexp_replace; the
+    regexes come from ops.text.PII_PATTERNS so the two sides cannot
+    drift.  Counts are taken on the text as it stood before each
+    pattern's replacement (the kernel's sequential semantics)."""
+    from ..ops.text import PII_PATTERNS
+    inj = ("text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+           "'@mail.example.com or call +1 555-01' || "
+           "lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || "
+           "' node 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || "
+           "CAST(doc_id % 100 AS VARCHAR)")
+    sql = f'WITH s0 AS (SELECT doc_id, {inj} AS t0 FROM documents)'
+    col = 't0'
+    for i, (name, rx, repl) in enumerate(PII_PATTERNS, 1):
+        sql += (f", s{i} AS (SELECT *, "
+                f"CAST(len(regexp_extract_all({col}, '{rx}')) AS BIGINT) AS n_{name}, "
+                f"regexp_replace({col}, '{rx}', '{repl}', 'g') AS t{i} FROM s{i - 1})")
+        col = f't{i}'
+    names = ', '.join(f'n_{n}' for n, _, _ in PII_PATTERNS)
+    return sql + (f' SELECT doc_id, {names}, {col} AS text_redacted '
+                  f'FROM s{len(PII_PATTERNS)}')
+
+
+ORACLE_SQL['pii_redact_documents'] = _pii_oracle_sql()
+
 ORACLE_SQL['jaccard_verified_pairs_documents'] = \
     'WITH ' + _shingle_pairs_sql() + ' SELECT id_a, id_b FROM pairs'
 ORACLE_SQL['minhash_dedup_documents'] = _components_sql(_shingle_pairs_sql(), 'doc_id')
@@ -988,4 +1065,14 @@ def get_oracle_sql() -> dict[str, str]:
     out = dict(ORACLE_SQL)
     pages_dir = pages_parquet_dir(5000)
     out['web_kg_construction'] = _web_kg_oracle_sql(f'{pages_dir}/*.parquet')
+    out['boilerplate_paragraphs_pages'] = f'''
+        SELECT paragraph, COUNT(*) AS n_occurrences FROM (
+            SELECT UNNEST(string_split(
+                text || CASE WHEN length(url) % 2 = 0
+                             THEN chr(10) || '{_BOILER_A}'
+                             ELSE chr(10) || '{_BOILER_B}' END,
+                chr(10))) AS paragraph
+            FROM read_parquet('{pages_dir}/*.parquet'))
+        GROUP BY paragraph HAVING COUNT(*) >= 2
+    '''
     return out

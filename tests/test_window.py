@@ -112,3 +112,29 @@ def test_rolling_agg_window_and_segment_clipping(ray_session, small):
     assert list(out['rn']) == [1, 2, 3, 4, 1]
     assert list(out['roll_sum_cents']) == [100, 400, 600, 1000, 900]
     assert list(out['roll_min_cents']) == [100, 100, 100, 200, 900]
+
+
+def test_redact_pii_sequential_semantics(ray_session):
+    from morph_kgc_ray.ops.text import redact_pii
+    ds = ray.data.from_arrow(pa.table({'text': pa.array([
+        'mail a.b+c@x.co or 192.168.0.1 then +1 555-0100 done',
+        'no pii here', None], pa.string())}))
+    out = redact_pii(ds).to_pandas()
+    assert out['text_redacted'][0] == 'mail <EMAIL> or <IP> then <PHONE> done'
+    assert (out['n_email'].tolist(), out['n_ipv4'].tolist(),
+            out['n_phone'].tolist()) == ([1, 0, 0], [1, 0, 0], [1, 0, 0])
+    assert out['text_redacted'][1] == 'no pii here'
+    assert out['text_redacted'][2] == ''  # null text -> empty, not a crash
+
+
+@pytest.mark.parametrize('small', [True, False])
+def test_paragraph_counts_finds_repeats(ray_session, small):
+    from morph_kgc_ray.ops.text import paragraph_counts
+    docs = ['unique one\nshared footer', 'unique two\nshared footer',
+            'unique three\nshared footer\nother']
+    ds = ray.data.from_arrow(pa.table({'text': pa.array(docs, pa.string())}))
+    out = paragraph_counts(ds, min_count=2, small=small).to_pandas()
+    assert out.set_index('paragraph')['n_occurrences'].to_dict() == {
+        'shared footer': 3}
+    full = paragraph_counts(ds, min_count=1, small=small).to_pandas()
+    assert full['n_occurrences'].sum() == 7  # every paragraph counted once
