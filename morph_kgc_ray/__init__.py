@@ -120,6 +120,25 @@ def materialize_kafka(config, python_source=None, producer_factory=None,
     return sum(r['rows'] for r in counts)
 
 
+def materialize(config, python_source=None):
+    """Load the materialized triples into an rdflib Graph (reference API
+    parity: __init__.py:63-71 — the triple set is joined into one document
+    and parsed with format='nquads', which accepts plain triples too).
+    rdflib is optional; without it use ``materialize_set`` (same triples
+    as Python strings) or ``materialize_to_dir``."""
+    try:
+        from rdflib import Graph  # optional dependency
+    except ImportError as e:  # pragma: no cover - rdflib not in this container
+        raise NotImplementedError(
+            'materialize requires rdflib; materialize_set returns the same '
+            'triples as a set of strings') from e
+    graph = Graph()
+    triples = materialize_set(config, python_source)
+    if triples:
+        graph.parse(data='.\n'.join(triples) + '.', format='nquads')
+    return graph
+
+
 def materialize_oxigraph(config, python_source=None):
     """Load the materialized triples into an Oxigraph store (reference API
     parity: __init__.py:75-83)."""
@@ -134,7 +153,7 @@ def materialize_oxigraph(config, python_source=None):
     return store
 
 
-__all__ = ['Config', 'materialize_dataset', 'materialize_set', 'materialize_to_dir',
-           'materialize_kafka', 'materialize_oxigraph']
+__all__ = ['Config', 'materialize', 'materialize_dataset', 'materialize_set',
+           'materialize_to_dir', 'materialize_kafka', 'materialize_oxigraph']
 
 __version__ = '0.1.0'
