@@ -1,0 +1,72 @@
+"""Deterministic stratified sampling for training-data pipelines.
+
+``stratified_sample`` keeps the k rows per group with the smallest seeded
+multiplicative hash of their id — a reproducible per-group sample (same
+seed -> same rows on any cluster layout, unlike random_shuffle().limit()).
+
+Physical plan (no full shuffle of the losers):
+  1. per block: rank rows within (group) by (hash, id) and keep rank <= k —
+     a provable SUPERSET of the global sample (a row dropped locally has k
+     smaller rows in its own block, hence >k globally);
+  2. hash-keyed exchange co-locating each group's survivors (volume is at
+     most k x groups x blocks, not the data size);
+  3. the same rank filter again — now globally exact (every row smaller
+     than a global top-k member is itself a global top-k member, so ranks
+     among survivors equal true global ranks).
+
+The hash is an explicit Knuth multiplicative formula so a SQL oracle can
+replicate it bit-for-bit: h = (id * 2654435761 + seed) mod 2^32.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def _rank_filter(t: pa.Table, group_col: str, id_col: str, k: int,
+                 seed: int, with_rank: bool) -> pa.Table:
+    if '__bucket' in t.column_names:
+        t = t.drop_columns(['__bucket'])
+    if t.num_rows == 0:
+        return t.append_column('rn', pa.array([], pa.int64())) if with_rank else t
+    ids = pc.cast(t[id_col], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+    h = (ids.astype(np.uint64) * np.uint64(2654435761) + np.uint64(seed)) \
+        % np.uint64(1 << 32)
+    t = t.append_column('__h', pa.array(h.astype(np.int64)))
+    t = t.sort_by([(group_col, 'ascending'), ('__h', 'ascending'),
+                   (id_col, 'ascending')])
+    g = t[group_col].combine_chunks().to_numpy(zero_copy_only=False)
+    n = len(g)
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = g[1:] != g[:-1]
+    seg_first = np.maximum.accumulate(np.where(new_grp, np.arange(n), 0))
+    rn = np.arange(n) - seg_first + 1
+    t = t.drop_columns(['__h'])
+    if with_rank:
+        t = t.append_column('rn', pa.array(rn.astype(np.int64)))
+    return t.filter(pa.array(rn <= k))
+
+
+def stratified_sample(ds: ray.data.Dataset, group_col: str, id_col: str,
+                      k: int, seed: int = 0,
+                      num_partitions: 'int | None' = None,
+                      small: bool = False,
+                      with_rank: bool = True) -> ray.data.Dataset:
+    """k deterministic rows per ``group_col`` value (smallest seeded hash of
+    ``id_col``, ties by id).  ``with_rank`` appends the 1-based within-group
+    rank as ``rn``."""
+    from .window import _keyed_blocks
+
+    def local(t: pa.Table) -> pa.Table:
+        return _rank_filter(t, group_col, id_col, k, seed, with_rank=False)
+
+    pre = ds.map_batches(local, batch_format='pyarrow')
+    co = _keyed_blocks(pre, group_col, num_partitions, small)
+    return co.map_batches(
+        lambda t: _rank_filter(t, group_col, id_col, k, seed, with_rank),
+        batch_format='pyarrow', batch_size=None)

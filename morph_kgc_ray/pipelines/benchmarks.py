@@ -247,6 +247,15 @@ def asof_view_attribution_events(sf_dir: str):
     return out.map_batches(no_nulls, batch_format='pyarrow')
 
 
+def stratified_sample_documents(sf_dir: str):
+    """Deterministic 5-per-language sample of the documents table (seeded
+    multiplicative hash — reproducible on any cluster layout)."""
+    from ..ops.sample import stratified_sample
+    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'lang'])
+    return stratified_sample(ds, group_col='lang', id_col='doc_id', k=5,
+                             seed=7, small=_small_table(sf_dir, 'documents'))
+
+
 def pii_redact_documents(sf_dir: str):
     """PII scrubbing over documents with deterministic synthetic PII
     (email/phone/IP derived from doc_id, mirrored in the SQL oracle so the
@@ -596,6 +605,7 @@ QUERIES = {
     'rolling_agg_events': rolling_agg_events,
     'pii_redact_documents': pii_redact_documents,
     'boilerplate_paragraphs_pages': boilerplate_paragraphs_pages,
+    'stratified_sample_documents': stratified_sample_documents,
     'top_customers': top_customers,
     'fingerprint_documents': fingerprint_documents,
     'ann_topk_embeddings': ann_topk_embeddings,
@@ -963,6 +973,18 @@ def _pii_oracle_sql() -> str:
 
 
 ORACLE_SQL['pii_redact_documents'] = _pii_oracle_sql()
+
+# deterministic per-group sample: same Knuth multiplicative hash, same
+# (hash, id) tie order as ops.sample.stratified_sample
+ORACLE_SQL['stratified_sample_documents'] = '''
+    SELECT doc_id, lang, rn FROM (
+        SELECT doc_id, lang,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY (doc_id * 2654435761 + 7) % 4294967296, doc_id)
+                    AS BIGINT) AS rn
+        FROM documents)
+    WHERE rn <= 5
+'''
 
 ORACLE_SQL['jaccard_verified_pairs_documents'] = \
     'WITH ' + _shingle_pairs_sql() + ' SELECT id_a, id_b FROM pairs'

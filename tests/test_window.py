@@ -138,3 +138,29 @@ def test_paragraph_counts_finds_repeats(ray_session, small):
         'shared footer': 3}
     full = paragraph_counts(ds, min_count=1, small=small).to_pandas()
     assert full['n_occurrences'].sum() == 7  # every paragraph counted once
+
+
+@pytest.mark.parametrize('small', [True, False])
+def test_stratified_sample_global_exactness(ray_session, small):
+    """The local-prefilter plan must equal a driver-side global computation
+    even when each group's rows are spread across many blocks."""
+    import numpy as np
+
+    from morph_kgc_ray.ops.sample import stratified_sample
+    ids = np.arange(400, dtype=np.int64)
+    groups = [f'g{int(i) % 7}' for i in ids]
+    ds = ray.data.from_arrow(pa.table({
+        'doc_id': pa.array(ids), 'lang': pa.array(groups, pa.string()),
+    })).repartition(8)  # spread every group across blocks
+    out = stratified_sample(ds, group_col='lang', id_col='doc_id', k=3,
+                            seed=7, small=small).to_pandas()
+    # driver-side reference
+    h = (ids.astype(np.uint64) * np.uint64(2654435761) + np.uint64(7)) % np.uint64(1 << 32)
+    import pandas as pd
+    ref = pd.DataFrame({'doc_id': ids, 'lang': groups, 'h': h.astype('int64')})
+    ref = ref.sort_values(['lang', 'h', 'doc_id'])
+    ref['rn'] = ref.groupby('lang').cumcount() + 1
+    ref = ref[ref['rn'] <= 3][['doc_id', 'lang', 'rn']]
+    got = out.sort_values(['lang', 'rn']).reset_index(drop=True)
+    exp = ref.sort_values(['lang', 'rn']).reset_index(drop=True)
+    assert got.to_dict('list') == exp.to_dict('list')
