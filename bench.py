@@ -34,7 +34,8 @@ BENCH_QUERIES = [
     'rml_customer_triples', 'rml_join_order_customer', 'rml_lineitem_datatype',
     'rml_events_nquads', 'dedup_exact_documents', 'lang_count_documents',
     'events_hourly_user_agg', 'ann_topk_embeddings', 'minhash_dedup_documents',
-    'lang_id_documents',
+    'lang_id_documents', 'sessionize_events', 'asof_view_attribution_events',
+    'pii_redact_documents', 'boilerplate_paragraphs_pages',
 ]
 
 

@@ -164,3 +164,43 @@ def test_stratified_sample_global_exactness(ray_session, small):
     got = out.sort_values(['lang', 'rn']).reset_index(drop=True)
     exp = ref.sort_values(['lang', 'rn']).reset_index(drop=True)
     assert got.to_dict('list') == exp.to_dict('list')
+
+
+def test_sessionize_random_matches_pandas_reference(ray_session):
+    """Randomized cross-check: sessionize over 600 events / 25 users must
+    match a straightforward pandas gaps-and-islands computation."""
+    import numpy as np
+    import pandas as pd
+
+    from morph_kgc_ray.ops.window import sessionize
+    rng = np.random.default_rng(1234)
+    n = 600
+    df = pd.DataFrame({
+        'event_id': np.arange(n, dtype=np.int64),
+        'user_id': rng.integers(0, 25, n).astype(np.int64),
+        'ts_us': rng.integers(0, 10_000, n).astype(np.int64) * 1_000_000,
+        'value': np.round(rng.uniform(0, 50, n), 2),
+    })
+    gap = 500 * 1_000_000
+    ds = ray.data.from_arrow(pa.table({
+        'event_id': pa.array(df['event_id']),
+        'user_id': pa.array(df['user_id']),
+        'ts': pa.array(df['ts_us'], pa.timestamp('us')),
+        'value': pa.array(df['value']),
+    })).repartition(6)
+    got = sessionize(ds, gap_us=gap, value_col='value', small=False) \
+        .to_pandas().sort_values(['user_id', 'session_id']).reset_index(drop=True)
+
+    r = df.sort_values(['user_id', 'ts_us', 'event_id']).reset_index(drop=True)
+    new_s = (r['user_id'].diff() != 0) | (r['ts_us'].diff() > gap)
+    r['sid'] = new_s.groupby(r['user_id']).cumsum().astype('int64')
+    r['cents'] = np.floor(r['value'] * 100).astype('int64')
+    exp = r.groupby(['user_id', 'sid']).agg(
+        n_events=('event_id', 'size'), start_us=('ts_us', 'min'),
+        end_us=('ts_us', 'max'), sum_value_cents=('cents', 'sum')).reset_index()
+    exp = exp.sort_values(['user_id', 'sid']).reset_index(drop=True)
+    assert got['n_events'].tolist() == exp['n_events'].tolist()
+    assert got['start_us'].tolist() == exp['start_us'].tolist()
+    assert got['end_us'].tolist() == exp['end_us'].tolist()
+    assert got['sum_value_cents'].tolist() == exp['sum_value_cents'].tolist()
+    assert got['session_id'].tolist() == exp['sid'].tolist()
