@@ -300,9 +300,16 @@ def distinct_in_place(ds: ray.data.Dataset, cols: list[str],
     try:
         expected = mat.count()
         deadline = _time.monotonic() + 10.0
+        last_rx, last_change = -1, _time.monotonic()
         while True:
             received = sum(ray.get([r.total_received.remote(run) for r in reducers]))
-            if received >= expected or _time.monotonic() > deadline:
+            now = _time.monotonic()
+            if received != last_rx:
+                last_rx, last_change = received, now
+            # received is monotone; a multi-second stall means the reducer
+            # mailboxes have drained and the shortfall is REAL — fail fast
+            # to the payload exchange instead of burning the full deadline
+            if received >= expected or now > deadline or now - last_change > 3.0:
                 break
             _time.sleep(0.02)
         occs = ray.get([r.dup_occurrences.remote(run) for r in reducers]) \

@@ -589,3 +589,29 @@ def test_xml_xpath_predicates_and_text_steps(ray_session, tmp_path):
     df = ds.to_pandas().sort_values('@id').reset_index(drop=True)
     assert list(df['name']) == ['Alpha', 'Gamma']
     assert list(df['@id']) == ['1', '3']
+
+
+def test_distinct_in_place_lost_push_reroutes_exactly(ray_session, monkeypatch, caplog):
+    """Fire-and-forget safety rail: a reducer that silently LOSES pushed
+    hash rows (worker death after task commit, twin-content id collision)
+    must fail the driver's delivery-count verification and reroute through
+    the keyed payload exchange — same exact result, never a wrong answer."""
+    import logging
+
+    import ray
+    import ray.data as rd
+    from morph_kgc_ray.engine import dedup as dd
+
+    class _LossyState(dd._HashBucketState):
+        def add(self, run, bid, h1, h2):  # drop the last row of every push
+            return super().add(run, bid, h1[:-1], h2[:-1])
+
+    monkeypatch.setattr(dd, '_HashBucketReducer',
+                        ray.remote(num_cpus=0)(_LossyState))
+    rows = [{'s': f's{i % 30}', 'p': 'p', 'o': f'o{i % 30}'} for i in range(300)]
+    ds = rd.from_items(rows).repartition(6)
+    with caplog.at_level(logging.WARNING, logger='morph_kgc_ray.engine.dedup'):
+        out = dd.distinct_in_place(ds, ['s', 'p', 'o'], num_buckets=3).to_pandas()
+    assert len(out) == 30
+    assert len(out.drop_duplicates()) == 30
+    assert any('rerouting' in r.message for r in caplog.records)
