@@ -246,3 +246,29 @@ def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: np.ndarray, k
 
     filtered = assigned.map_batches(keep, batch_format='pyarrow')
     return brute_force_topk(filtered, queries, query_ids, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def quantize_embeddings(ds: ray.data.Dataset, id_col: str = 'vec_id',
+                        vec_col: str = 'embedding') -> ray.data.Dataset:
+    """Symmetric per-vector int8 quantization — the standard 4x memory
+    reduction before ANN at corpus scale.  q = floor(x * 127.0 / max|x|
+    + 0.5) in float64 (an explicit formula a SQL oracle can replicate
+    bit-for-bit; floor(+0.5) avoids the round-half-to-even vs
+    half-away-from-zero mismatch between numpy and SQL engines), scale =
+    max|x| / 127 recovers x ~= q * scale.  All-zero vectors quantize to
+    zeros with scale 0."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = vectors_to_ndarray(t[vec_col], dtype=np.float64)
+        mx = np.abs(m).max(axis=1)
+        safe = np.where(mx == 0, 1.0, mx)
+        q = np.floor(m * 127.0 / safe[:, None] + 0.5)
+        q[mx == 0] = 0.0
+        qi = q.astype(np.int8)
+        offsets = np.arange(0, (len(m) + 1) * m.shape[1], m.shape[1], dtype=np.int32)
+        qlist = pa.ListArray.from_arrays(pa.array(offsets), pa.array(qi.ravel()))
+        return pa.table({id_col: t[id_col],
+                         'scale': pa.array(mx / 127.0),
+                         'q': qlist})
+
+    return ds.map_batches(fn, batch_format='pyarrow')

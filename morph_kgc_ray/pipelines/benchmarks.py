@@ -247,6 +247,33 @@ def asof_view_attribution_events(sf_dir: str):
     return out.map_batches(no_nulls, batch_format='pyarrow')
 
 
+def quantize_embeddings_int8(sf_dir: str):
+    """Symmetric per-vector int8 quantization, flattened to (vec_id,
+    dim_idx, q) rows so the oracle hash covers every component."""
+    import numpy as np
+
+    from ..ops.similarity import quantize_embeddings
+    ds = read_parquet_clean(_p(sf_dir, 'embeddings'), columns=['vec_id', 'embedding'])
+    out = quantize_embeddings(ds)
+
+    def flatten(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({'vec_id': pa.array([], pa.int64()),
+                             'dim_idx': pa.array([], pa.int64()),
+                             'q': pa.array([], pa.int64())})
+        q = t['q'].combine_chunks()
+        lens = pc.list_value_length(q).to_numpy(zero_copy_only=False).astype(np.int64)
+        vid = t['vec_id'].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            'vec_id': pa.array(np.repeat(vid, lens)),
+            'dim_idx': pa.array(np.concatenate([np.arange(1, k + 1) for k in lens])
+                                if n else np.array([], np.int64)),
+            'q': pc.cast(pc.list_flatten(q), pa.int64())})
+
+    return out.map_batches(flatten, batch_format='pyarrow')
+
+
 def stratified_sample_documents(sf_dir: str):
     """Deterministic 5-per-language sample of the documents table (seeded
     multiplicative hash — reproducible on any cluster layout)."""
@@ -606,6 +633,7 @@ QUERIES = {
     'pii_redact_documents': pii_redact_documents,
     'boilerplate_paragraphs_pages': boilerplate_paragraphs_pages,
     'stratified_sample_documents': stratified_sample_documents,
+    'quantize_embeddings_int8': quantize_embeddings_int8,
     'top_customers': top_customers,
     'fingerprint_documents': fingerprint_documents,
     'ann_topk_embeddings': ann_topk_embeddings,
@@ -973,6 +1001,20 @@ def _pii_oracle_sql() -> str:
 
 
 ORACLE_SQL['pii_redact_documents'] = _pii_oracle_sql()
+
+# symmetric int8 quantization: same floor(x*127.0/mx + 0.5) float64 formula
+# as ops.similarity.quantize_embeddings (float32->float64 cast is exact on
+# both sides); parallel UNNESTs zip the dim index with the component
+ORACLE_SQL['quantize_embeddings_int8'] = '''
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    m AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS mx FROM e)
+    SELECT vec_id,
+           UNNEST(range(1, len(v) + 1)) AS dim_idx,
+           UNNEST(list_transform(v, x -> CASE WHEN mx = 0 THEN 0
+                  ELSE CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT) END)) AS q
+    FROM m
+'''
 
 # deterministic per-group sample: same Knuth multiplicative hash, same
 # (hash, id) tie order as ops.sample.stratified_sample

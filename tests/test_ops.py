@@ -615,3 +615,27 @@ def test_distinct_in_place_lost_push_reroutes_exactly(ray_session, monkeypatch, 
     assert len(out) == 30
     assert len(out.drop_duplicates()) == 30
     assert any('rerouting' in r.message for r in caplog.records)
+
+
+def test_quantize_embeddings_roundtrip_bound(ray_session):
+    """q * scale must reconstruct each component within half a quantization
+    step; zero vectors quantize to zeros with scale 0."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from morph_kgc_ray.ops.similarity import quantize_embeddings
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 16)).astype(np.float32)
+    vecs[3] = 0.0
+    ds = rd.from_arrow(pa.table({
+        'vec_id': pa.array(np.arange(50, dtype=np.int64)),
+        'embedding': pa.array(vecs.tolist(), pa.list_(pa.float32()))}))
+    out = quantize_embeddings(ds).to_pandas().sort_values('vec_id')
+    q = np.stack(out['q'].to_numpy())
+    scale = out['scale'].to_numpy()
+    recon = q * scale[:, None]
+    err = np.abs(recon - vecs.astype(np.float64))
+    assert (err <= scale[:, None] / 2 + 1e-12).all()
+    assert (q[3] == 0).all() and scale[3] == 0.0
+    assert q.min() >= -127 and q.max() <= 127
