@@ -82,16 +82,18 @@ def sessionize(ds: ray.data.Dataset, key: str = 'user_id', ts_col: str = 'ts',
     value_cols = [value_col] if value_col else []
     ds = _keyed_blocks(ds.select_columns([key, ts_col, id_col] + value_cols),
                        key, num_partitions, small)
-    out_schema = {key: pa.int64(), 'session_id': pa.int64(),
-                  'n_events': pa.int64(), 'start_us': pa.int64(),
-                  'end_us': pa.int64(), 'duration_us': pa.int64()}
-    if value_col:
-        out_schema['sum_value_cents'] = pa.int64()
 
     def scan(t: pa.Table) -> pa.Table:
         if '__bucket' in t.column_names:
             t = t.drop_columns(['__bucket'])
         if t.num_rows == 0:
+            # preserve the key's real type so empty blocks union cleanly
+            ktype = t.schema.field(key).type if key in t.column_names else pa.int64()
+            out_schema = {key: ktype, 'session_id': pa.int64(),
+                          'n_events': pa.int64(), 'start_us': pa.int64(),
+                          'end_us': pa.int64(), 'duration_us': pa.int64()}
+            if value_col:
+                out_schema['sum_value_cents'] = pa.int64()
             return pa.table({c: pa.array([], tp) for c, tp in out_schema.items()})
         t, kn, ts, new_key, _ = _sorted_block(t, key, ts_col, id_col)
         n = len(kn)
@@ -135,16 +137,16 @@ def rolling_agg(ds: ray.data.Dataset, key: str = 'user_id', ts_col: str = 'ts',
                        key, num_partitions, small)
 
     def scan(t: pa.Table) -> pa.Table:
-        empty = pa.table({id_col: pa.array([], pa.int64()),
-                          key: pa.array([], pa.int64()),
-                          'ts_us': pa.array([], pa.int64()),
-                          'rn': pa.array([], pa.int64()),
-                          'roll_sum_cents': pa.array([], pa.int64()),
-                          'roll_min_cents': pa.array([], pa.int64())})
         if '__bucket' in t.column_names:
             t = t.drop_columns(['__bucket'])
         if t.num_rows == 0:
-            return empty
+            ktype = t.schema.field(key).type if key in t.column_names else pa.int64()
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             key: pa.array([], ktype),
+                             'ts_us': pa.array([], pa.int64()),
+                             'rn': pa.array([], pa.int64()),
+                             'roll_sum_cents': pa.array([], pa.int64()),
+                             'roll_min_cents': pa.array([], pa.int64())})
         t, kn, ts, _, seg_first = _sorted_block(t, key, ts_col, id_col)
         n = t.num_rows
         idx = np.arange(n)
@@ -197,8 +199,9 @@ def asof_join_prior(ds: ray.data.Dataset, key: str = 'user_id',
     def scan(t: pa.Table) -> pa.Table:
         if '__bucket' in t.column_names:
             t = t.drop_columns(['__bucket'])
+        ktype = t.schema.field(key).type if key in t.column_names else pa.int64()
         empty = pa.table({'click_id': pa.array([], pa.int64()),
-                          key: pa.array([], pa.int64()),
+                          key: pa.array([], ktype),
                           'click_ts_us': pa.array([], pa.int64()),
                           'view_event_id': pa.array([], pa.int64()),
                           'view_ts_us': pa.array([], pa.int64())})

@@ -204,3 +204,41 @@ def test_sessionize_random_matches_pandas_reference(ray_session):
     assert got['end_us'].tolist() == exp['end_us'].tolist()
     assert got['sum_value_cents'].tolist() == exp['sum_value_cents'].tolist()
     assert got['session_id'].tolist() == exp['sid'].tolist()
+
+
+def test_window_ops_string_keys(ray_session):
+    """The keyed exchange + sorted scans must work with string keys too
+    (polars hash + object-dtype boundary comparison)."""
+    from morph_kgc_ray.ops.window import sessionize
+
+    t = pa.table({
+        'event_id': pa.array([1, 2, 3, 4], pa.int64()),
+        'user_id': pa.array(['alice', 'alice', 'bob', 'bob'], pa.string()),
+        'ts': pa.array([0, 5 * US, 0, 500 * US], pa.timestamp('us')),
+    })
+    out = sessionize(ray.data.from_arrow(t).repartition(3), gap_us=100 * US,
+                     small=False, num_partitions=2).to_pandas()
+    got = out.set_index(['user_id', 'session_id'])['n_events'].to_dict()
+    assert got == {('alice', 1): 2, ('bob', 1): 1, ('bob', 2): 1}
+
+
+def test_window_ops_empty_buckets_string_keys(ray_session):
+    """More partitions than keys -> empty blocks; their synthesized schema
+    must carry the key's REAL type (string) or the union fails."""
+    from morph_kgc_ray.ops.window import asof_join_prior, rolling_agg, sessionize
+
+    t = pa.table({
+        'event_id': pa.array([1, 2, 3], pa.int64()),
+        'user_id': pa.array(['a', 'a', 'b'], pa.string()),
+        'ts': pa.array([0, US, 2 * US], pa.timestamp('us')),
+        'event_type': pa.array(['view', 'click', 'click'], pa.string()),
+        'value': pa.array([1.0, 2.0, 3.0], pa.float64()),
+    })
+    ds = ray.data.from_arrow(t)
+    s = sessionize(ds, gap_us=10 * US, value_col='value',
+                   num_partitions=8).to_pandas()
+    assert len(s) == 2
+    a = asof_join_prior(ds, num_partitions=8).to_pandas()
+    assert len(a) == 2
+    r = rolling_agg(ds, window=2, num_partitions=8).to_pandas()
+    assert len(r) == 3
