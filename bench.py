@@ -52,8 +52,10 @@ def run_scaling() -> None:
     # lose raw per-core throughput above ~half their logical CPUs)
     lo, hi = (int(x) for x in os.environ.get('GRAFT_SCALING_LEVELS', '8,32').split(','))
     # larger corpus for the scaling measurement so compute dominates the
-    # fixed per-session costs (worker/aggregator startup) at both levels
-    os.environ.setdefault('GRAFT_HEADLINE_ROWS', '600000')
+    # fixed per-session costs (worker/aggregator startup, executor spin-up,
+    # read warm-up) at both levels.  1.2M pages since the emit kernel got
+    # 2x faster — same compute-per-fixed-cost ratio the original 600k had
+    os.environ.setdefault('GRAFT_HEADLINE_ROWS', '1200000')
     rounds = int(os.environ.get('GRAFT_SCALING_ROUNDS', '2'))
 
     # This container's capacity swings +-50% minute to minute (BASELINE.md

@@ -325,8 +325,10 @@ def boilerplate_paragraphs_pages(sf_dir: str):
             pc.fill_null(t['text'], ''), pa.array(suffix, pa.string()), '')
         return pa.table({'text': text2})
 
+    # plan-time combine choice: up to ~100k paragraphs finish in a single
+    # task; larger corpora take the distributed groupby combine
     return paragraph_counts(pages.map_batches(inject, batch_format='pyarrow'),
-                            min_count=2, small=True)
+                            min_count=2, small=rows <= 20000)
 
 
 _BOILER_A = 'Subscribe to our newsletter'
