@@ -138,6 +138,39 @@ def _class_luts():
 
 _CLASS_LUTS = _class_luts()
 
+_CLASS_NAMES = ('n_chars', 'n_punct', 'n_upper', 'n_digit', 'n_space')
+
+# Packed LUTs: all five class indicators in ONE int64 per byte, so the five
+# per-row counts come out of a SINGLE gather + a SINGLE per-row segment sum
+# (np.add.reduceat) instead of five full-buffer int64 cumsums (~7x less
+# memory traffic on the hot path).  Field-overflow safety: reduceat sums
+# WITHIN one row only, and every field's per-row sum is bounded by the row's
+# byte length, so 12-bit fields are exact for rows < 4 KiB and 21-bit fields
+# for rows < 2 MiB; longer rows fall back to the cumsum path below.
+_PACK12 = (_CLASS_LUTS[0] | (_CLASS_LUTS[1] << 12) | (_CLASS_LUTS[2] << 24)
+           | (_CLASS_LUTS[3] << 36) | (_CLASS_LUTS[4] << 48))
+_PACK21A = (_CLASS_LUTS[0] | (_CLASS_LUTS[1] << 21) | (_CLASS_LUTS[2] << 42))
+_PACK21B = (_CLASS_LUTS[3] | (_CLASS_LUTS[4] << 21))
+
+
+def _segment_sums(vals: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """Per-row sums of ``vals`` over [offs[i], offs[i+1]).  reduceat quirks
+    handled: an empty segment returns vals[idx] instead of 0 (zeroed
+    afterwards), and an index == len(vals) is rejected — trailing empty
+    rows start exactly there, so the reduceat covers only rows up to the
+    first EOF-offset row and the rest zero-fill (clipping those indices
+    instead would silently truncate the last non-empty row's segment)."""
+    n = len(offs) - 1
+    out = np.zeros(n, dtype=np.int64)
+    if len(vals) == 0 or n == 0:
+        return out
+    m = int(np.searchsorted(offs[:-1], len(vals)))  # rows m.. start at EOF
+    if m:
+        s = np.add.reduceat(vals, offs[:m])
+        s[offs[1:m + 1] == offs[:m]] = 0
+        out[:m] = s
+    return out
+
 
 def char_class_counts(col) -> 'dict[str, np.ndarray]':
     """Per-row codepoint/punct/upper/digit/space counts over a string column
@@ -152,10 +185,22 @@ def char_class_counts(col) -> 'dict[str, np.ndarray]':
     data = np.frombuffer(arr.buffers()[2] or b'', dtype=np.uint8)[
         offs[0]:offs[-1]]
     offs = offs - offs[0]
+    max_len = int(np.diff(offs).max()) if len(offs) > 1 else 0
+    if max_len < (1 << 12):
+        s = _segment_sums(_PACK12[data], offs)
+        return {name: (s >> (12 * i)) & 0xFFF
+                for i, name in enumerate(_CLASS_NAMES)}
+    if max_len < (1 << 21):
+        sa = _segment_sums(_PACK21A[data], offs)
+        sb = _segment_sums(_PACK21B[data], offs)
+        return {'n_chars': sa & 0x1FFFFF, 'n_punct': (sa >> 21) & 0x1FFFFF,
+                'n_upper': (sa >> 42) & 0x1FFFFF, 'n_digit': sb & 0x1FFFFF,
+                'n_space': (sb >> 21) & 0x1FFFFF}
     out = {}
-    names = ('n_chars', 'n_punct', 'n_upper', 'n_digit', 'n_space')
-    for i, name in enumerate(names):
-        # cumsum + gather is reduceat without its empty-segment quirk
+    for i, name in enumerate(_CLASS_NAMES):
+        # cumsum + gather is reduceat without its empty-segment quirk; kept
+        # as the (rare) >=2 MiB-row fallback — per-field sums there could
+        # overflow any packed width
         csum = np.zeros(len(data) + 1, dtype=np.int64)
         np.cumsum(_CLASS_LUTS[i][data], out=csum[1:])
         out[name] = csum[offs[1:]] - csum[offs[:-1]]

@@ -3,6 +3,7 @@ kernels: the vectorized implementations must agree with their obvious
 Python-reference counterparts on arbitrary inputs."""
 
 import pyarrow as pa
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -81,3 +82,27 @@ def test_char_class_counts_match_re2(values):
     }
     for k, v in ref.items():
         assert got[k].tolist() == v.to_numpy(zero_copy_only=False).astype(np.int64).tolist(), k
+
+
+@pytest.mark.parametrize('row_len', [100, 5000, 3_000_000])
+def test_char_class_counts_all_width_paths(row_len):
+    """The packed-field fast paths (12-bit rows < 4 KiB, 21-bit rows
+    < 2 MiB) and the cumsum fallback (>= 2 MiB rows) must agree with a
+    direct per-string computation — the widest row in the batch selects
+    the path, so each parametrization pins one branch."""
+    import numpy as np
+
+    from morph_kgc_ray.ops.text import char_class_counts
+
+    rng = np.random.RandomState(row_len % 99991)
+    alphabet = 'aZ9_ .,!\tü'
+    rows = ['', 'aA0 _!',
+            ''.join(rng.choice(list(alphabet), size=row_len)), '']
+    got = char_class_counts(pa.array(rows, pa.string()))
+    import re
+    for i, s in enumerate(rows):
+        assert got['n_chars'][i] == len(s)
+        assert got['n_punct'][i] == len(re.findall(r'[^\w\s]', s, re.ASCII))
+        assert got['n_upper'][i] == sum(c.isupper() and c.isascii() for c in s)
+        assert got['n_digit'][i] == sum(c.isdigit() and c.isascii() for c in s)
+        assert got['n_space'][i] == len(re.findall(r'[\t\n\f\r ]', s))
