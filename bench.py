@@ -52,10 +52,14 @@ def run_scaling() -> None:
     # lose raw per-core throughput above ~half their logical CPUs)
     lo, hi = (int(x) for x in os.environ.get('GRAFT_SCALING_LEVELS', '8,32').split(','))
     # larger corpus for the scaling measurement so compute dominates the
-    # fixed per-session costs (worker/aggregator startup, executor spin-up,
-    # read warm-up) at both levels.  1.2M pages since the emit kernel got
-    # 2x faster — same compute-per-fixed-cost ratio the original 600k had
-    os.environ.setdefault('GRAFT_HEADLINE_ROWS', '1200000')
+    # fixed per-session costs (worker/aggregator startup) at both levels.
+    # 600k, NOT larger: a measured 1.2M run dropped vs-ceiling to
+    # 0.65-0.69 because the doubled triple payload saturates this single
+    # host's object-store/memory bandwidth at 32 CPUs — a resource that
+    # grows with node count on the real N->4N cluster this run proxies, so
+    # inflating the corpus past the single node's bandwidth measures the
+    # box, not the pipeline (BASELINE.md round-5 scaling notes)
+    os.environ.setdefault('GRAFT_HEADLINE_ROWS', '600000')
     rounds = int(os.environ.get('GRAFT_SCALING_ROUNDS', '2'))
 
     # This container's capacity swings +-50% minute to minute (BASELINE.md
