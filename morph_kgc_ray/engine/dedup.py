@@ -93,15 +93,59 @@ class _HashBucketState:
     silently restarted empty would fail that check and the caller reroutes
     through the pull-based exchange)."""
 
+    # slot-bitmap size (bits).  2^26 slots = 8 MiB x 2 bitmaps per run: at
+    # ~2M hash rows per reducer the false-candidate rate is ~3%, so the
+    # report-time exact pass touches a few-% subset.  Slots come from h1's
+    # HIGH bits — the low bits picked the reducer (h1 % nbuckets), so they
+    # are constant within one reducer and would alias everything.
+    SLOT_BITS = 26
+
     def __init__(self):
         self.runs: dict[str, dict] = {}
 
+    def _slots(self, h1):
+        import numpy as np
+        return ((h1 >> np.uint64(64 - self.SLOT_BITS))
+                & np.uint64((1 << self.SLOT_BITS) - 1)).astype(np.int64)
+
     def add(self, run: str, bid: int, h1, h2) -> int:
-        self.runs.setdefault(run, {})[bid] = (h1, h2)
+        """Store one producer block's hash rows AND fold them into the
+        run's seen/dup slot bitmaps, so duplicate detection happens HERE —
+        inside the overlapped exchange — and the post-materialize report
+        only has to verify the (few) candidate slots.
+
+        The dup bitmap is a SUPERSET marker (slot collisions and re-added
+        retry parts only ever create false candidates, never false
+        negatives — the exact (h1,h2,bid) group logic runs on candidates):
+        a row whose slot was seen by ANY earlier add marks dup, and
+        within-chunk repeated slots are caught by a chunk-local sort."""
+        import numpy as np
+        st = self.runs.setdefault(
+            run, {'parts': {},
+                  'seen': np.zeros((1 << self.SLOT_BITS) >> 6, np.uint64),
+                  'dup': np.zeros((1 << self.SLOT_BITS) >> 6, np.uint64)})
+        st['parts'][bid] = (h1, h2)
+        if len(h1):
+            slot = self._slots(np.asarray(h1, dtype=np.uint64))
+            w = slot >> 6
+            b = np.uint64(1) << (slot & 63).astype(np.uint64)
+            seen, dup = st['seen'], st['dup']
+            hit = (seen[w] & b) != 0
+            if hit.any():
+                np.bitwise_or.at(dup, w[hit], b[hit])
+            # within-chunk repeats: both occurrences read seen=0 above, so
+            # detect repeated slots inside this chunk directly
+            s = np.sort(slot)
+            rep = np.unique(s[1:][s[1:] == s[:-1]])
+            if len(rep):
+                np.bitwise_or.at(dup, rep >> 6,
+                                 np.uint64(1) << (rep & 63).astype(np.uint64))
+            np.bitwise_or.at(seen, w, b)
         return len(h1)
 
     def total_received(self, run: str) -> int:
-        return sum(len(h1) for h1, _ in self.runs.get(run, {}).values())
+        return sum(len(h1) for h1, _ in
+                   self.runs.get(run, {}).get('parts', {}).values())
 
     def clear(self, run: str) -> None:
         """Free one run's hash state once its winners were read (the actor
@@ -114,27 +158,35 @@ class _HashBucketState:
         >1 block (the winner selection happens driver-side, so the filter
         can test exact (hash, bid) membership — fail-open by construction).
 
-        Two-stage: a value-only ``np.sort`` over h1 finds candidate
-        duplicate h1 values (cheap — no permutation gathers), then the full
-        (h1, h2, bid) group logic runs on just those rows.  On mostly-unique
-        corpora (the normal web-crawl case) this is ~4x the full lexsort."""
+        The dup-slot bitmap built during ``add`` (i.e. during the overlapped
+        exchange, in parallel across reducers) prefilters candidates with
+        ONE vectorized gather per stored part — no full-state sort on the
+        critical path; the exact (h1, h2) group logic then keeps only true
+        multi-occurrence hashes among the candidates."""
         import numpy as np
         z = np.array([], dtype=np.uint64)
         zb = np.array([], dtype=np.int64)
-        parts = self.runs.get(run, {})
-        if not parts:
+        st = self.runs.get(run)
+        if not st or not st['parts']:
             return z, z, zb
-        h1 = np.concatenate([p[0] for p in parts.values()])
-        s = np.sort(h1)
-        dup_vals = s[1:][s[1:] == s[:-1]]  # h1 values appearing >1 time
-        if not len(dup_vals):
+        parts = st['parts']
+        dup = st['dup']
+        cand1, cand2, candb = [], [], []
+        for b_, (p1, p2) in parts.items():
+            if not len(p1):
+                continue
+            p1 = np.asarray(p1, dtype=np.uint64)
+            slot = self._slots(p1)
+            m = (dup[slot >> 6] & (np.uint64(1) << (slot & 63).astype(np.uint64))) != 0
+            if m.any():
+                cand1.append(p1[m])
+                cand2.append(np.asarray(p2, dtype=np.uint64)[m])
+                candb.append(np.full(int(m.sum()), b_, dtype=np.int64))
+        if not cand1:
             return z, z, zb
-        dup_vals = np.unique(dup_vals)
-        h2 = np.concatenate([p[1] for p in parts.values()])
-        bid = np.concatenate([np.full(len(p[0]), b, dtype=np.int64)
-                              for b, p in parts.items()])
-        m = np.isin(h1, dup_vals)
-        h1, h2, bid = h1[m], h2[m], bid[m]
+        h1 = np.concatenate(cand1)
+        h2 = np.concatenate(cand2)
+        bid = np.concatenate(candb)
         order = np.lexsort((h2, h1))
         h1, h2, bid = h1[order], h2[order], bid[order]
         new_grp = np.empty(len(h1), dtype=bool)
@@ -162,7 +214,15 @@ def _reducer_pool() -> list:
         job = 'nojob'
     pool = _REDUCER_POOL.get(job)
     if pool is None:
-        n = max(2, min(32, _ray_cpus() // 4))
+        # cpus//4 keeps the overlapped phase's message count low (a 16-pool
+        # A/B measured materialize +1.3-1.8 s from the doubled pushes); the
+        # report tail no longer scales with per-reducer volume because dup
+        # detection happens in the slot bitmaps during add.  On a real
+        # cluster size via GRAFT_DEDUP_REDUCERS ~ (rows x 16 B / 256 MB)
+        # spread across nodes.
+        import os as _os
+        n = int(_os.environ.get('GRAFT_DEDUP_REDUCERS', 0)) \
+            or max(2, min(32, _ray_cpus() // 4))
         pool = [_HashBucketReducer.remote() for _ in range(n)]
         # fire-and-forget ping: spawn the worker processes NOW so their
         # startup overlaps the caller's read/extract warm-up instead of
@@ -288,7 +348,12 @@ def distinct_in_place(ds: ray.data.Dataset, cols: list[str],
                 pass
         return t  # payload unchanged: the hashes travelled out of band
 
+    import os as _os
+    import time as _time
+    _timing = _os.environ.get('GRAFT_DEDUP_TIMING')
+    _t0 = _time.monotonic()
     mat = ds.map_batches(prep, batch_format='pyarrow', batch_size=None).materialize()
+    _t_mat = _time.monotonic()
 
     # the hash exchange already happened during the pass above; the pushes
     # are fire-and-forget, so POLL until every payload row's hash has
@@ -296,7 +361,6 @@ def distinct_in_place(ds: ray.data.Dataset, cols: list[str],
     # milliseconds), then pull the (tiny) duplicate-occurrence sets.  A
     # shortfall that persists past the deadline means a push was truly lost
     # (producer worker died after its task committed) -> reroute.
-    import time as _time
     try:
         expected = mat.count()
         deadline = _time.monotonic() + 10.0
@@ -312,10 +376,17 @@ def distinct_in_place(ds: ray.data.Dataset, cols: list[str],
             if received >= expected or now > deadline or now - last_change > 3.0:
                 break
             _time.sleep(0.02)
+        _t_poll = _time.monotonic()
         occs = ray.get([r.dup_occurrences.remote(run) for r in reducers]) \
             if received == expected else None
         for r in reducers:
             r.clear.remote(run)
+        if _timing:
+            import sys as _sys
+            print(f'[dedup-timing] materialize={_t_mat - _t0:.2f}s '
+                  f'poll={_t_poll - _t_mat:.2f}s '
+                  f'reports={_time.monotonic() - _t_poll:.2f}s '
+                  f'received={received} expected={expected}', file=_sys.stderr)
     except Exception:
         occs = None  # pool actor died mid-run
     if occs is None:

@@ -103,6 +103,44 @@ def test_hash_bucket_state_occurrences_and_idempotent_retry():
     assert s.total_received('r2') == 1
 
 
+def test_hash_bucket_state_bitmap_vs_bruteforce():
+    """The slot-bitmap prefilter (dup detection folded into add) must
+    report EXACTLY the brute-force (h1,h2) multi-occurrence set, under
+    heavy slot collisions (tiny SLOT_BITS), planted cross-part and
+    within-part duplicates, and a retried (replaced) part."""
+    from collections import Counter
+
+    from morph_kgc_ray.engine.dedup import _HashBucketState
+
+    class _TinySlots(_HashBucketState):
+        SLOT_BITS = 6  # 64 slots for ~600 rows -> constant collisions
+
+    rng = np.random.RandomState(42)
+    s = _TinySlots()
+    parts = {}
+    pool = rng.randint(0, 2**63, size=120, dtype=np.int64).astype(np.uint64)
+    for b in range(12):
+        h1 = pool[rng.randint(0, len(pool), size=50)]  # repeats everywhere
+        if b == 4:
+            h1 = np.concatenate([h1, h1[:3]])  # within-part repeats
+        h2 = h1 ^ np.uint64(0xABCD)
+        parts[b] = (h1, h2)
+        s.add('r', b, h1, h2)
+    s.add('r', 7, *parts[7])  # retry replaces (adds only false candidates)
+
+    got_h1, got_h2, got_bid = s.dup_occurrences('r')
+    got = Counter(zip(got_h1.tolist(), got_h2.tolist(), got_bid.tolist()))
+    occ = Counter()
+    for b, (h1, h2) in parts.items():
+        for a, c in zip(h1.tolist(), h2.tolist()):
+            occ[(a, c, b)] += 1
+    totals = Counter()
+    for (a, c, _b), n in occ.items():
+        totals[(a, c)] += n
+    want = Counter({k: n for k, n in occ.items() if totals[(k[0], k[1])] > 1})
+    assert got == want
+
+
 def test_content_bid_properties():
     """Block ids derive from block content: retry-stable (same content ->
     same id), order-sensitive (a permuted block is a different block)."""
