@@ -384,3 +384,107 @@ def rolling_hash_fingerprint(ds: ray.data.Dataset, text_col: str = 'text',
         return t.append_column(out_col, pa.array(fps, pa.uint64()))
 
     return ds.map_batches(fn, batch_format='pyarrow')
+
+
+# --------------------------------------------------------------------------
+# repetition statistics (Gopher-style quality signals)
+# --------------------------------------------------------------------------
+
+def repetition_stats(ds: ray.data.Dataset, text_col: str = 'text',
+                     line_sep: str = '\n',
+                     token_rx: str = '[^0-9A-Za-z_]+') -> ray.data.Dataset:
+    """Per-document repetition signals used by training-corpus quality
+    filters (Gopher/Rae et al. 2021 'repetition' rules, public method):
+
+    - ``n_lines`` / ``n_dup_lines``: line count and how many lines are
+      repeats of an earlier identical line in the SAME document (templated
+      or machine-generated pages repeat lines; prose does not),
+    - ``n_2grams`` / ``top_2gram_count``: word-2-gram count and the
+      occurrence count of the document's most frequent 2-gram (a high
+      top-gram share marks keyword-stuffed / degenerate text).
+
+    Exact and fully vectorized, no hashing: lines and tokens are
+    ``pc.dictionary_encode``-d to int32 codes (C++ hash table, string
+    equality — zero collision risk), 2-gram identity is the packed code
+    pair, and the per-document distinct / mode counts are numpy
+    lexsort + run-length passes over the flat code arrays.  Each batch is
+    independent — no shuffle, scales linearly with the corpus.
+
+    Tokens are maximal ``[0-9A-Za-z_]+`` runs (explicit ASCII class so the
+    RE2 kernel and the DuckDB oracle's ``regexp_extract_all`` agree
+    byte-for-byte)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):  # all-null block
+            col = pa.nulls(n, pa.large_string())
+        col = pc.fill_null(col, '')
+
+        # ---- duplicate lines within each document ----
+        lines = pc.split_pattern(col, line_sep)
+        lcounts = pc.list_value_length(lines).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        codes = pc.dictionary_encode(pc.list_flatten(lines)).indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(np.arange(n), lcounts)
+        order = np.lexsort((codes, doc))
+        cs, dcs = codes[order], doc[order]
+        new = np.empty(len(cs), dtype=bool)
+        if len(cs):
+            new[0] = True
+            new[1:] = (cs[1:] != cs[:-1]) | (dcs[1:] != dcs[:-1])
+        # splitting '' yields [''], so every doc owns >= 1 line and every
+        # reduceat segment below is non-empty
+        starts = np.concatenate(([0], np.cumsum(lcounts)))[:-1]
+        n_distinct = (np.add.reduceat(new, starts).astype(np.int64)
+                      if len(cs) else np.zeros(n, np.int64))
+        n_dup_lines = lcounts - n_distinct
+
+        # ---- most frequent word 2-gram ----
+        toks = pc.split_pattern_regex(col, token_rx)
+        tcounts = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        keep = pc.greater(pc.binary_length(flat), 0)
+        if len(flat) and not pc.all(keep).as_py():
+            # RE2 split emits boundary empty strings; real tokens only
+            tdoc = np.repeat(np.arange(n), tcounts)
+            mask = keep.to_numpy(zero_copy_only=False)
+            flat = flat.filter(keep)
+            tcounts = np.bincount(tdoc[mask], minlength=n).astype(np.int64)
+        tcode = pc.dictionary_encode(flat).indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        toff = np.concatenate(([0], np.cumsum(tcounts)))
+        # a 2-gram starts at every token except each doc's last
+        valid = np.ones(len(tcode), dtype=bool)
+        last = toff[1:][tcounts > 0] - 1
+        if len(last):
+            valid[last] = False
+        gi = np.flatnonzero(valid)
+        gram = (tcode[gi] << 32) | tcode[gi + 1]  # int32 codes: exact pack
+        n_2grams = np.maximum(tcounts - 1, 0)
+        gdoc = np.repeat(np.arange(n), n_2grams)
+        top = np.zeros(n, dtype=np.int64)
+        if len(gram):
+            order = np.lexsort((gram, gdoc))
+            gs, gds = gram[order], gdoc[order]
+            newg = np.empty(len(gs), dtype=bool)
+            newg[0] = True
+            newg[1:] = (gs[1:] != gs[:-1]) | (gds[1:] != gds[:-1])
+            run_starts = np.flatnonzero(newg)
+            run_len = np.diff(np.concatenate((run_starts, [len(gs)])))
+            run_doc = gds[run_starts]
+            has = n_2grams > 0
+            # run_doc is sorted and only has-docs own runs, so the first-run
+            # indices of the has-docs partition run_len into per-doc segments
+            first = np.searchsorted(run_doc, np.flatnonzero(has))
+            top[has] = np.maximum.reduceat(run_len, first)
+        return (t.append_column('n_lines', pa.array(lcounts))
+                 .append_column('n_dup_lines', pa.array(n_dup_lines))
+                 .append_column('n_2grams', pa.array(n_2grams))
+                 .append_column('top_2gram_count', pa.array(top)))
+
+    return ds.map_batches(fn, batch_format='pyarrow')

@@ -168,6 +168,14 @@ def quality_stats_documents(sf_dir: str):
     return out.select_columns(['doc_id', 'n_chars_computed', 'n_upper', 'n_digit'])
 
 
+def repetition_stats_documents(sf_dir: str):
+    """Gopher-style per-doc repetition quality signals (duplicate lines,
+    top word-2-gram concentration) — dictionary-encoded exact counts."""
+    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
+    return text_ops.repetition_stats(ds).select_columns(
+        ['doc_id', 'n_lines', 'n_dup_lines', 'n_2grams', 'top_2gram_count'])
+
+
 def quality_filter_documents(sf_dir: str):
     """Training-data quality filtering: keep docs in a language allowlist
     whose heuristic quality score clears a threshold and that have enough
@@ -626,6 +634,7 @@ QUERIES = {
     'token_count_documents': token_count_documents,
     'token_count_bpe_documents': token_count_bpe_documents,
     'quality_stats_documents': quality_stats_documents,
+    'repetition_stats_documents': repetition_stats_documents,
     'quality_filter_documents': quality_filter_documents,
     'lang_count_documents': lang_count_documents,
     'events_hourly_user_agg': events_hourly_user_agg,
@@ -716,6 +725,37 @@ ORACLE_SQL = {
                length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
                length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
         FROM documents
+    ''',
+    'repetition_stats_documents': r'''
+        WITH lines AS (
+          SELECT doc_id,
+                 unnest(string_split(coalesce(text, ''), chr(10))) AS line
+          FROM documents),
+        lstats AS (
+          SELECT doc_id, count(*) AS n_lines,
+                 count(*) - count(DISTINCT line) AS n_dup_lines
+          FROM lines GROUP BY doc_id),
+        toks AS (
+          SELECT doc_id,
+                 regexp_extract_all(coalesce(text, ''), '[0-9A-Za-z_]+') AS ts
+          FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(ts)),
+                                       i -> ts[i] || chr(1) || ts[i + 1])) AS gram
+          FROM toks),
+        gstats AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+                 max(c) AS top_2gram_count
+          FROM (SELECT doc_id, gram, count(*) AS c
+                FROM grams GROUP BY doc_id, gram)
+          GROUP BY doc_id)
+        SELECT d.doc_id, l.n_lines, l.n_dup_lines,
+               coalesce(g.n_2grams, 0) AS n_2grams,
+               coalesce(g.top_2gram_count, 0) AS top_2gram_count
+        FROM documents d
+        JOIN lstats l USING (doc_id)
+        LEFT JOIN gstats g USING (doc_id)
     ''',
     'quality_filter_documents': r'''
         SELECT doc_id, lang FROM (

@@ -24,6 +24,42 @@ def test_token_count(docs_ds):
     assert out[1] == 13 and out[5] == 0
 
 
+def test_repetition_stats_randomized_vs_python(ray_session):
+    """repetition_stats (vectorized dictionary-encode + segment scans) must
+    equal the plain-Python per-doc reference on randomized multi-line texts
+    with planted duplicate lines, repeated 2-grams, empties and nulls."""
+    import re
+    from collections import Counter
+
+    import ray.data as rd
+
+    from morph_kgc_ray.ops.text import repetition_stats
+
+    rng = np.random.RandomState(11)
+    words = ['alpha', 'beta', 'gamma', 'x1', 'über', 'c_3', '', '--']
+    texts = []
+    for _ in range(80):
+        lines = [' '.join(rng.choice(words, size=rng.randint(0, 6)))
+                 for _ in range(rng.randint(0, 8))]
+        if lines and rng.rand() < 0.5:
+            lines += [lines[0]] * rng.randint(1, 3)  # planted dup lines
+        texts.append('\n'.join(lines))
+    texts += ['', None, 'solo', 'buy now buy now buy now']
+    ds = rd.from_items([{'doc_id': i, 'text': t} for i, t in enumerate(texts)])
+    got = repetition_stats(ds).to_pandas().set_index('doc_id')
+
+    for i, t in enumerate(texts):
+        t = t or ''
+        lines = t.split('\n')
+        toks = [x for x in re.split(r'[^0-9A-Za-z_]+', t) if x]
+        grams = Counter(zip(toks, toks[1:]))
+        assert got.loc[i, 'n_lines'] == len(lines)
+        assert got.loc[i, 'n_dup_lines'] == len(lines) - len(set(lines))
+        assert got.loc[i, 'n_2grams'] == max(len(toks) - 1, 0)
+        assert got.loc[i, 'top_2gram_count'] == (max(grams.values())
+                                                 if grams else 0)
+
+
 def test_exact_dedup_keeps_min_id(docs_ds):
     from morph_kgc_ray.ops.dedup import exact_dedup
     out = exact_dedup(docs_ds, ['text'], 'doc_id').to_pandas()
