@@ -36,7 +36,7 @@ BENCH_QUERIES = [
     'events_hourly_user_agg', 'ann_topk_embeddings', 'minhash_dedup_documents',
     'lang_id_documents', 'sessionize_events', 'asof_view_attribution_events',
     'pii_redact_documents', 'boilerplate_paragraphs_pages',
-    'repetition_stats_documents',
+    'repetition_stats_documents', 'decontaminate_documents',
 ]
 
 

@@ -387,6 +387,35 @@ def rolling_hash_fingerprint(ds: ray.data.Dataset, text_col: str = 'text',
 
 
 # --------------------------------------------------------------------------
+# shared regex tokenization
+# --------------------------------------------------------------------------
+
+def regex_tokens(col, token_rx: str = '[^0-9A-Za-z_]+'):
+    """(flat token Array, tokens-per-row int64 counts): maximal runs NOT
+    matching ``token_rx`` — i.e. for the default separator class, the exact
+    matches DuckDB's ``regexp_extract_all(text, '[0-9A-Za-z_]+')`` returns
+    (RE2 on both sides; boundary empty strings from the split dropped).
+    Nulls count as empty text."""
+    n = len(col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_null(col.type):  # all-null block
+        col = pa.nulls(n, pa.large_string())
+    col = pc.fill_null(col, '')
+    toks = pc.split_pattern_regex(col, token_rx)
+    tcounts = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    keep = pc.greater(pc.binary_length(flat), 0)
+    if len(flat) and not pc.all(keep).as_py():
+        tdoc = np.repeat(np.arange(n), tcounts)
+        mask = keep.to_numpy(zero_copy_only=False)
+        flat = flat.filter(keep)
+        tcounts = np.bincount(tdoc[mask], minlength=n).astype(np.int64)
+    return flat, tcounts
+
+
+# --------------------------------------------------------------------------
 # repetition statistics (Gopher-style quality signals)
 # --------------------------------------------------------------------------
 
@@ -444,17 +473,7 @@ def repetition_stats(ds: ray.data.Dataset, text_col: str = 'text',
         n_dup_lines = lcounts - n_distinct
 
         # ---- most frequent word 2-gram ----
-        toks = pc.split_pattern_regex(col, token_rx)
-        tcounts = pc.list_value_length(toks).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        flat = pc.list_flatten(toks)
-        keep = pc.greater(pc.binary_length(flat), 0)
-        if len(flat) and not pc.all(keep).as_py():
-            # RE2 split emits boundary empty strings; real tokens only
-            tdoc = np.repeat(np.arange(n), tcounts)
-            mask = keep.to_numpy(zero_copy_only=False)
-            flat = flat.filter(keep)
-            tcounts = np.bincount(tdoc[mask], minlength=n).astype(np.int64)
+        flat, tcounts = regex_tokens(col, token_rx)
         tcode = pc.dictionary_encode(flat).indices \
             .to_numpy(zero_copy_only=False).astype(np.int64)
         toff = np.concatenate(([0], np.cumsum(tcounts)))

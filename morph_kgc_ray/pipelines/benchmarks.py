@@ -176,6 +176,28 @@ def repetition_stats_documents(sf_dir: str):
         ['doc_id', 'n_lines', 'n_dup_lines', 'n_2grams', 'top_2gram_count'])
 
 
+def decontaminate_documents(sf_dir: str):
+    """Benchmark decontamination (GPT-3-style word-8-gram overlap).  The
+    'benchmark' is a deterministic in-corpus eval set — tokens 6..20 of
+    every doc with doc_id % 97 == 0 — so contamination genuinely exists
+    (each source doc hits its own snippet; exact-duplicate docs hit too)."""
+    import re
+
+    from ..ops.decontam import ngram_decontaminate
+    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
+
+    def pick(t: pa.Table) -> pa.Table:
+        did = t['doc_id'].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(did % 97 == 0))
+
+    bench = []
+    for r in ds.map_batches(pick, batch_format='pyarrow').take_all():
+        toks = [x for x in re.split(r'[^0-9A-Za-z_]+', r['text'] or '') if x]
+        bench.append(' '.join(toks[5:20]))
+    return ngram_decontaminate(ds, bench, k=8) \
+        .select_columns(['doc_id', 'n_contaminated'])
+
+
 def quality_filter_documents(sf_dir: str):
     """Training-data quality filtering: keep docs in a language allowlist
     whose heuristic quality score clears a threshold and that have enough
@@ -635,6 +657,7 @@ QUERIES = {
     'token_count_bpe_documents': token_count_bpe_documents,
     'quality_stats_documents': quality_stats_documents,
     'repetition_stats_documents': repetition_stats_documents,
+    'decontaminate_documents': decontaminate_documents,
     'quality_filter_documents': quality_filter_documents,
     'lang_count_documents': lang_count_documents,
     'events_hourly_user_agg': events_hourly_user_agg,
@@ -663,6 +686,11 @@ QUERIES = {
     'multimodal_jpeg_decode': multimodal_jpeg_decode,
     'web_kg_construction': web_kg_construction,
 }
+
+# DuckDB lambda body for an 8-token gram starting at 1-based index i:
+# ts[i] || chr(1) || ts[i+1] || ... || ts[i+7]
+_GRAM8 = " || chr(1) || ".join(
+    f"ts[i + {j}]" if j else "ts[i]" for j in range(8))
 
 ORACLE_SQL = {
     'rml_customer_triples': f'''
@@ -725,6 +753,28 @@ ORACLE_SQL = {
                length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
                length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
         FROM documents
+    ''',
+    'decontaminate_documents': '''
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_extract_all(coalesce(text, ''), '[0-9A-Za-z_]+') AS ts
+          FROM documents),
+        bench AS (
+          SELECT DISTINCT gram FROM (
+            SELECT unnest(list_transform(range(1, len(sl) - 6),
+                                         i -> ''' + _GRAM8.replace('ts[', 'sl[') + ''')) AS gram
+            FROM (SELECT list_slice(ts, 6, 20) AS sl
+                  FROM toks WHERE doc_id % 97 = 0))),
+        grams AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(ts) - 6),
+                                       i -> ''' + _GRAM8 + ''')) AS gram
+          FROM toks)
+        SELECT d.doc_id, coalesce(c.n, 0) AS n_contaminated
+        FROM documents d
+        LEFT JOIN (SELECT doc_id, count(*) AS n
+                   FROM grams JOIN bench USING (gram)
+                   GROUP BY doc_id) c USING (doc_id)
     ''',
     'repetition_stats_documents': r'''
         WITH lines AS (

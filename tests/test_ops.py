@@ -60,6 +60,48 @@ def test_repetition_stats_randomized_vs_python(ray_session):
                                                  if grams else 0)
 
 
+def test_ngram_decontaminate_randomized_vs_python(ray_session):
+    """ngram_decontaminate (broadcast benchmark-gram set + rolling window
+    hashes) must count exactly the k-gram positions whose token k-gram
+    occurs in the benchmark — checked against a per-doc Python reference
+    with planted snippets, partial overlaps, short docs and nulls."""
+    import re
+    import ray.data as rd
+
+    from morph_kgc_ray.ops.decontam import ngram_decontaminate
+
+    rng = np.random.RandomState(5)
+    vocab = [f'w{i}' for i in range(30)]
+    bench = [' '.join(rng.choice(vocab, size=rng.randint(3, 12)))
+             for _ in range(6)]
+    k = 4
+    texts = []
+    for _ in range(60):
+        words = list(rng.choice(vocab, size=rng.randint(0, 25)))
+        if words and rng.rand() < 0.5:  # plant a benchmark snippet mid-doc
+            snip = bench[rng.randint(len(bench))].split()
+            pos = rng.randint(len(words) + 1)
+            words = words[:pos] + snip + words[pos:]
+        texts.append(' '.join(words))
+    texts += ['', None, bench[0], 'w0 w1 w2']  # short / exact / sub-k
+    ds = rd.from_items([{'doc_id': i, 'text': t} for i, t in enumerate(texts)])
+    got = ngram_decontaminate(ds, bench, k=k).to_pandas() \
+        .set_index('doc_id')['n_contaminated'].to_dict()
+
+    bench_grams = set()
+    for b in bench:
+        toks = b.split()
+        bench_grams |= {tuple(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+    planted = 0
+    for i, t in enumerate(texts):
+        toks = [x for x in re.split(r'[^0-9A-Za-z_]+', t or '') if x]
+        want = sum(tuple(toks[i2:i2 + k]) in bench_grams
+                   for i2 in range(len(toks) - k + 1))
+        planted += want
+        assert got[i] == want, (i, got[i], want)
+    assert planted > 0  # the plantings must actually exercise the hit path
+
+
 def test_exact_dedup_keeps_min_id(docs_ds):
     from morph_kgc_ray.ops.dedup import exact_dedup
     out = exact_dedup(docs_ds, ['text'], 'doc_id').to_pandas()
