@@ -198,6 +198,14 @@ def decontaminate_documents(sf_dir: str):
         .select_columns(['doc_id', 'n_contaminated'])
 
 
+def chunk_documents_windows(sf_dir: str):
+    """Training-sequence packing prepass: 32-token windows, stride 24
+    (8-token overlap) — flat-map-shaped (rows out >> rows in)."""
+    from ..ops.chunk import chunk_documents
+    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
+    return chunk_documents(ds, window=32, stride=24)
+
+
 def quality_filter_documents(sf_dir: str):
     """Training-data quality filtering: keep docs in a language allowlist
     whose heuristic quality score clears a threshold and that have enough
@@ -658,6 +666,7 @@ QUERIES = {
     'quality_stats_documents': quality_stats_documents,
     'repetition_stats_documents': repetition_stats_documents,
     'decontaminate_documents': decontaminate_documents,
+    'chunk_documents_windows': chunk_documents_windows,
     'quality_filter_documents': quality_filter_documents,
     'lang_count_documents': lang_count_documents,
     'events_hourly_user_agg': events_hourly_user_agg,
@@ -753,6 +762,21 @@ ORACLE_SQL = {
                length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
                length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
         FROM documents
+    ''',
+    'chunk_documents_windows': r'''
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_extract_all(coalesce(text, ''), '[0-9A-Za-z_]+') AS ts
+          FROM documents),
+        starts AS (
+          SELECT doc_id, ts, unnest(range(0, len(ts), 24)) AS s
+          FROM toks WHERE len(ts) > 0)
+        SELECT doc_id,
+               CAST(s // 24 AS BIGINT) AS chunk_id,
+               CAST(least(len(ts) - s, 32) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(list_slice(ts, s + 1, least(s + 32, len(ts))),
+                               ' ') AS chunk_text
+        FROM starts
     ''',
     'decontaminate_documents': '''
         WITH toks AS (

@@ -102,6 +102,37 @@ def test_ngram_decontaminate_randomized_vs_python(ray_session):
     assert planted > 0  # the plantings must actually exercise the hit path
 
 
+def test_chunk_documents_randomized_vs_python(ray_session):
+    """chunk_documents (vectorized window gather + binary_join) must equal
+    the per-doc Python sliding-window reference: boundary lengths (exact
+    multiples, sub-window docs, empties, nulls), stride overlap, and
+    chunk-text reassembly."""
+    import re
+    import ray.data as rd
+
+    from morph_kgc_ray.ops.chunk import chunk_documents
+
+    rng = np.random.RandomState(3)
+    texts = [' '.join(f'w{rng.randint(50)}' for _ in range(m))
+             for m in [0, 1, 4, 5, 9, 10, 11, 23, 24, 25, 100]]
+    texts += ['', None, 'a\nb  c,d!e']
+    W, S = 5, 4
+    ds = rd.from_items([{'doc_id': i, 'text': t} for i, t in enumerate(texts)])
+    got = chunk_documents(ds, window=W, stride=S).to_pandas() \
+        .sort_values(['doc_id', 'chunk_id']).reset_index(drop=True)
+
+    rows = []
+    for i, t in enumerate(texts):
+        toks = [x for x in re.split(r'[^0-9A-Za-z_]+', t or '') if x]
+        for c, s in enumerate(range(0, len(toks), S)):
+            w = toks[s:s + W]
+            rows.append((i, c, len(w), ' '.join(w)))
+    assert len(got) == len(rows)
+    for (i, c, nt, txt), (_, r) in zip(rows, got.iterrows()):
+        assert (r['doc_id'], r['chunk_id'], r['n_chunk_tokens'],
+                r['chunk_text']) == (i, c, nt, txt)
+
+
 def test_exact_dedup_keeps_min_id(docs_ds):
     from morph_kgc_ray.ops.dedup import exact_dedup
     out = exact_dedup(docs_ds, ['text'], 'doc_id').to_pandas()
