@@ -37,7 +37,7 @@ BENCH_QUERIES = [
     'lang_id_documents', 'sessionize_events', 'asof_view_attribution_events',
     'pii_redact_documents', 'boilerplate_paragraphs_pages',
     'repetition_stats_documents', 'decontaminate_documents',
-    'chunk_documents_windows',
+    'chunk_documents_windows', 'unigram_lm_documents',
 ]
 
 

@@ -206,6 +206,19 @@ def chunk_documents_windows(sf_dir: str):
     return chunk_documents(ds, window=32, stride=24)
 
 
+def unigram_lm_documents(sf_dir: str):
+    """CCNet-style unigram LM quality scoring — the repo's trainable
+    operator: pass 1 fits corpus token counts (partial value_counts per
+    batch, one vocab-keyed groupby-sum), pass 2 broadcasts the fitted
+    model and scores every doc.  Scores are exact fixed-point micronats
+    (floor(-ln(cnt/total)*1e6) per token, int64 sums) so the oracle hash
+    is float-order-free; DuckDB replicates token-for-token."""
+    from ..ops.lm import unigram_lm_score
+    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
+    return unigram_lm_score(ds).select_columns(
+        ['doc_id', 'n_tokens', 'nll_micronats'])
+
+
 def quality_filter_documents(sf_dir: str):
     """Training-data quality filtering: keep docs in a language allowlist
     whose heuristic quality score clears a threshold and that have enough
@@ -668,6 +681,7 @@ QUERIES = {
     'decontaminate_documents': decontaminate_documents,
     'chunk_documents_windows': chunk_documents_windows,
     'quality_filter_documents': quality_filter_documents,
+    'unigram_lm_documents': unigram_lm_documents,
     'lang_count_documents': lang_count_documents,
     'events_hourly_user_agg': events_hourly_user_agg,
     'sessionize_events': sessionize_events,
@@ -1117,6 +1131,34 @@ def _pii_oracle_sql() -> str:
 
 
 ORACLE_SQL['pii_redact_documents'] = _pii_oracle_sql()
+
+# unigram LM scoring: identical tokenization to token_count_documents (both
+# sides RE2 \s+ over trim()); the per-token score is fixed-point —
+# floor(-ln(cnt/total)*1e6) — where cnt/total is one exact IEEE division
+# and ln is libm on both sides (Python math.log == DuckDB ln), so the
+# int64 per-doc sums match bit-for-bit regardless of addition order
+ORACLE_SQL['unigram_lm_documents'] = r'''
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents WHERE trim(text) <> ''
+    ), counts AS (
+        SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    ), total AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks
+    ), scored AS (
+        SELECT t.doc_id,
+               CAST(floor(-ln(CAST(c.cnt AS DOUBLE) / (SELECT n FROM total))
+                          * 1000000) AS BIGINT) AS fp
+        FROM toks t JOIN counts c USING (tok)
+    ), agg AS (
+        SELECT doc_id, COUNT(*) AS n_tokens, SUM(fp) AS nll
+        FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(a.nll, 0) AS BIGINT) AS nll_micronats
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+'''
 
 # symmetric int8 quantization: same floor(x*127.0/mx + 0.5) float64 formula
 # as ops.similarity.quantize_embeddings (float32->float64 cast is exact on

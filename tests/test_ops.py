@@ -786,3 +786,34 @@ def test_quantize_embeddings_roundtrip_bound(ray_session):
     assert (err <= scale[:, None] / 2 + 1e-12).all()
     assert (q[3] == 0).all() and scale[3] == 0.0
     assert q.min() >= -127 and q.max() <= 127
+
+
+def test_unigram_lm_score_exact_and_vocab_cap(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from morph_kgc_ray.ops.lm import train_unigram, unigram_lm_score
+
+    texts = ['a a b', 'b c', '   ', '', 'a d e f']
+    ds = rd.from_items([{'doc_id': i, 'text': t} for i, t in enumerate(texts)])
+
+    # uncapped: scores must equal the hand-computed fixed-point sums
+    total = 9  # a:3 b:2 c:1 d:1 e:1 f:1
+    cnts = {'a': 3, 'b': 2, 'c': 1, 'd': 1, 'e': 1, 'f': 1}
+    fp = {t: math.floor(-math.log(c / total) * 1e6) for t, c in cnts.items()}
+    out = unigram_lm_score(ds).to_pandas().set_index('doc_id').sort_index()
+    assert out['n_tokens'].tolist() == [3, 2, 0, 0, 4]
+    expect = [fp['a'] * 2 + fp['b'], fp['b'] + fp['c'], 0, 0,
+              fp['a'] + fp['d'] + fp['e'] + fp['f']]
+    assert out['nll_micronats'].tolist() == expect
+
+    # capped vocab: only the top-2 tokens (a, b) stay in-vocab; everything
+    # else scores the OOV floor count=1 — same value as uncapped here since
+    # all dropped tokens have count 1
+    model = train_unigram(ds, vocab_cap=2)
+    assert sorted(model['tokens'].to_pylist()) == ['a', 'b']
+    assert model['total'] == total  # total is fitted BEFORE the cap
+    capped = unigram_lm_score(ds, model=model).to_pandas() \
+        .set_index('doc_id').sort_index()
+    assert capped['nll_micronats'].tolist() == expect
