@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     'pii_redact_documents', 'boilerplate_paragraphs_pages',
     'repetition_stats_documents', 'decontaminate_documents',
     'chunk_documents_windows', 'unigram_lm_documents',
+    'bloom_blocklist_documents', 'cap_per_source_documents',
 ]
 
 

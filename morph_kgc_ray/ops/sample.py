@@ -28,17 +28,26 @@ import ray.data
 
 
 def _rank_filter(t: pa.Table, group_col: str, id_col: str, k: int,
-                 seed: int, with_rank: bool) -> pa.Table:
+                 seed: int, with_rank: bool,
+                 order_cols: 'list[str] | None' = None) -> pa.Table:
+    """Keep rank<=k rows per group.  Default order: seeded Knuth hash of
+    ``id_col`` (stratified sampling); ``order_cols`` orders by explicit
+    columns instead (per-key cap) — the caller must make the order total
+    (include a unique id) for the local-prefilter superset proof to hold."""
     if '__bucket' in t.column_names:
         t = t.drop_columns(['__bucket'])
     if t.num_rows == 0:
         return t.append_column('rn', pa.array([], pa.int64())) if with_rank else t
-    ids = pc.cast(t[id_col], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
-    h = (ids.astype(np.uint64) * np.uint64(2654435761) + np.uint64(seed)) \
-        % np.uint64(1 << 32)
-    t = t.append_column('__h', pa.array(h.astype(np.int64)))
-    t = t.sort_by([(group_col, 'ascending'), ('__h', 'ascending'),
-                   (id_col, 'ascending')])
+    if order_cols is None:
+        ids = pc.cast(t[id_col], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        h = (ids.astype(np.uint64) * np.uint64(2654435761) + np.uint64(seed)) \
+            % np.uint64(1 << 32)
+        t = t.append_column('__h', pa.array(h.astype(np.int64)))
+        t = t.sort_by([(group_col, 'ascending'), ('__h', 'ascending'),
+                       (id_col, 'ascending')])
+    else:
+        t = t.sort_by([(group_col, 'ascending')]
+                      + [(c, 'ascending') for c in order_cols])
     g = t[group_col].combine_chunks().to_numpy(zero_copy_only=False)
     n = len(g)
     new_grp = np.empty(n, dtype=bool)
@@ -46,7 +55,8 @@ def _rank_filter(t: pa.Table, group_col: str, id_col: str, k: int,
     new_grp[1:] = g[1:] != g[:-1]
     seg_first = np.maximum.accumulate(np.where(new_grp, np.arange(n), 0))
     rn = np.arange(n) - seg_first + 1
-    t = t.drop_columns(['__h'])
+    if '__h' in t.column_names:
+        t = t.drop_columns(['__h'])
     if with_rank:
         t = t.append_column('rn', pa.array(rn.astype(np.int64)))
     return t.filter(pa.array(rn <= k))
@@ -69,4 +79,33 @@ def stratified_sample(ds: ray.data.Dataset, group_col: str, id_col: str,
     co = _keyed_blocks(pre, group_col, num_partitions, small)
     return co.map_batches(
         lambda t: _rank_filter(t, group_col, id_col, k, seed, with_rank),
+        batch_format='pyarrow', batch_size=None)
+
+
+def cap_per_key(ds: ray.data.Dataset, group_col: str, k: int,
+                order_cols: list[str],
+                num_partitions: 'int | None' = None,
+                small: bool = False,
+                with_rank: bool = True) -> ray.data.Dataset:
+    """Per-key cap (the crawl-curation "max N documents per domain"): keep
+    the k rows per ``group_col`` that sort FIRST by ``order_cols``.  The
+    order must be total — include a unique id as the last order column —
+    both for determinism and for the local-prefilter proof.
+
+    Same two-phase plan as ``stratified_sample`` (local per-block top-k is
+    a provable superset of the global top-k; only survivors — at most
+    k x groups x blocks rows — enter the keyed exchange), just ordered by
+    explicit columns instead of the seeded hash.  ``with_rank`` appends
+    the 1-based within-group rank as ``rn``."""
+    from .window import _keyed_blocks
+
+    def local(t: pa.Table) -> pa.Table:
+        return _rank_filter(t, group_col, '', k, 0, with_rank=False,
+                            order_cols=order_cols)
+
+    pre = ds.map_batches(local, batch_format='pyarrow')
+    co = _keyed_blocks(pre, group_col, num_partitions, small)
+    return co.map_batches(
+        lambda t: _rank_filter(t, group_col, '', k, 0, with_rank,
+                               order_cols=order_cols),
         batch_format='pyarrow', batch_size=None)

@@ -219,6 +219,36 @@ def unigram_lm_documents(sf_dir: str):
         ['doc_id', 'n_tokens', 'nll_micronats'])
 
 
+def bloom_blocklist_documents(sf_dir: str):
+    """Exact blocklist anti-join via a broadcast Bloom sketch: remove every
+    document whose text appears in the blocklist (the decontam-style
+    in-corpus eval set, docs with doc_id % 97 == 0 — genuinely matching).
+    The filter is DELIBERATELY undersized (64 bits, 1 hash) so real false
+    positives flow through the distributed left_anti verification join and
+    the exactness-under-FP path is what the oracle certifies."""
+    from ..ops.bloom import bloom_anti_join
+    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
+
+    def pick(t: pa.Table) -> pa.Table:
+        did = t['doc_id'].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(did % 97 == 0))
+
+    keys = ds.map_batches(pick, batch_format='pyarrow').select_columns(['text'])
+    return bloom_anti_join(ds, keys, 'text', num_bits=64, num_hashes=1) \
+        .select_columns(['doc_id'])
+
+
+def cap_per_source_documents(sf_dir: str):
+    """Per-domain cap (max 3 docs per source, shortest-first, ties by
+    doc_id) — local top-k prefilter then a keyed exchange of survivors
+    only; the oracle is a ROW_NUMBER() window."""
+    from ..ops.sample import cap_per_key
+    ds = read_parquet_clean(_p(sf_dir, 'documents'),
+                            columns=['doc_id', 'source', 'n_chars'])
+    return cap_per_key(ds, 'source', 3, ['n_chars', 'doc_id']) \
+        .select_columns(['doc_id', 'source', 'rn'])
+
+
 def quality_filter_documents(sf_dir: str):
     """Training-data quality filtering: keep docs in a language allowlist
     whose heuristic quality score clears a threshold and that have enough
@@ -682,6 +712,8 @@ QUERIES = {
     'chunk_documents_windows': chunk_documents_windows,
     'quality_filter_documents': quality_filter_documents,
     'unigram_lm_documents': unigram_lm_documents,
+    'bloom_blocklist_documents': bloom_blocklist_documents,
+    'cap_per_source_documents': cap_per_source_documents,
     'lang_count_documents': lang_count_documents,
     'events_hourly_user_agg': events_hourly_user_agg,
     'sessionize_events': sessionize_events,
@@ -1158,6 +1190,20 @@ ORACLE_SQL['unigram_lm_documents'] = r'''
            CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
            CAST(coalesce(a.nll, 0) AS BIGINT) AS nll_micronats
     FROM documents d LEFT JOIN agg a USING (doc_id)
+'''
+
+ORACLE_SQL['bloom_blocklist_documents'] = '''
+    SELECT d.doc_id FROM documents d
+    WHERE d.text NOT IN (SELECT text FROM documents WHERE doc_id % 97 = 0)
+'''
+
+ORACLE_SQL['cap_per_source_documents'] = '''
+    SELECT doc_id, source, rn FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rn
+        FROM documents)
+    WHERE rn <= 3
 '''
 
 # symmetric int8 quantization: same floor(x*127.0/mx + 0.5) float64 formula

@@ -817,3 +817,52 @@ def test_unigram_lm_score_exact_and_vocab_cap(ray_session):
     capped = unigram_lm_score(ds, model=model).to_pandas() \
         .set_index('doc_id').sort_index()
     assert capped['nll_micronats'].tolist() == expect
+
+
+def test_bloom_anti_join_exact_under_false_positives(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from morph_kgc_ray.ops.bloom import bloom_anti_join, build_bloom, _bloom_mask
+
+    rng = np.random.RandomState(3)
+    vals = [f'k{rng.randint(0, 400)}' for _ in range(1000)]
+    block = sorted({f'k{i}' for i in range(0, 400, 7)})
+    left = rd.from_items([{'rid': i, 'key': v} for i, v in enumerate(vals)],
+                         override_num_blocks=8)
+    keys = rd.from_items([{'key': b} for b in block], override_num_blocks=4)
+
+    # tiny filter => real false positives must exist, and the verify join
+    # must still produce the exact NOT IN result
+    bloom = build_bloom(keys, 'key', num_bits=64, num_hashes=1)
+    probe = pa.table({'key': pa.array(sorted(set(vals)))})
+    hits = _bloom_mask(bloom, probe, 'key')
+    truth = np.array([k in set(block) for k in probe['key'].to_pylist()])
+    assert (hits & ~truth).any()          # false positives present
+    assert not (~hits & truth).any()      # never a false negative
+
+    out = bloom_anti_join(left, keys, 'key', num_bits=64, num_hashes=1) \
+        .to_pandas().sort_values('rid')
+    expect = [(i, v) for i, v in enumerate(vals) if v not in set(block)]
+    assert list(zip(out['rid'], out['key'])) == expect
+
+
+def test_cap_per_key_matches_pandas_window(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from morph_kgc_ray.ops.sample import cap_per_key
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({'rid': np.arange(500),
+                       'grp': rng.randint(0, 12, 500),
+                       'val': rng.randint(0, 40, 500)})
+    ds = rd.from_pandas(df).repartition(7)
+    out = cap_per_key(ds, 'grp', 4, ['val', 'rid']).to_pandas()
+    exp = df.sort_values(['grp', 'val', 'rid'])
+    exp['rn'] = exp.groupby('grp').cumcount() + 1
+    exp = exp[exp['rn'] <= 4]
+    got = out.sort_values(['grp', 'val', 'rid']).reset_index(drop=True)
+    assert got[['rid', 'grp', 'val', 'rn']].values.tolist() == \
+        exp[['rid', 'grp', 'val', 'rn']].reset_index(drop=True).values.tolist()
