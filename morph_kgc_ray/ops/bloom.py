@@ -116,7 +116,8 @@ def bloom_anti_join(left: ray.data.Dataset, keys_ds: ray.data.Dataset,
                     key_col: str, right_col: 'str | None' = None,
                     num_partitions: int = 32, num_bits: int = 1 << 23,
                     num_hashes: int = 4,
-                    bloom: 'dict | None' = None) -> ray.data.Dataset:
+                    bloom: 'dict | None' = None,
+                    small: bool = False) -> ray.data.Dataset:
     """Rows of ``left`` whose ``key_col`` value does NOT appear in
     ``keys_ds[right_col or key_col]`` — exact ``NOT IN`` semantics for
     non-null keys (a null key never equals anything, so it survives, like
@@ -127,7 +128,13 @@ def bloom_anti_join(left: ray.data.Dataset, keys_ds: ray.data.Dataset,
     enters an exchange, and the candidate branch prunes to possible-hits
     before a hash-partitioned ``left_anti`` join verifies them exactly.
     Two cheap scans beat one full-corpus shuffle at crawl scale; pass a
-    prebuilt ``bloom`` to share one filter across many inputs."""
+    prebuilt ``bloom`` to share one filter across many inputs.
+
+    ``small=True`` (plan-time knowledge that the KEY SET fits in one heap)
+    verifies candidates against an exact broadcast value set instead of
+    the join — no exchange at all.  The bitmap is then redundant for
+    correctness but still useful when ``left`` is huge: misses skip even
+    the set lookup's batch copy."""
     rc = right_col or key_col
     if bloom is None:
         bloom = build_bloom(keys_ds, rc, num_bits, num_hashes)
@@ -136,6 +143,17 @@ def bloom_anti_join(left: ray.data.Dataset, keys_ds: ray.data.Dataset,
                               batch_format='pyarrow')
     cands = left.map_batches(_split_fn(ref, key_col, keep_hits=True),
                              batch_format='pyarrow')
-    survivors = cands.join(keys_ds.select_columns([rc]), 'left_anti',
-                           num_partitions, on=(key_col,), right_on=(rc,))
+    if small:
+        key_tbl = pa.Table.from_pandas(keys_ds.select_columns([rc]).to_pandas())
+        vals = pc.unique(key_tbl[rc].combine_chunks())
+
+        def verify(t: pa.Table) -> pa.Table:
+            idx = pc.index_in(t[key_col].combine_chunks(),
+                              options=pc.SetLookupOptions(value_set=vals))
+            return t.filter(pc.is_null(idx))
+
+        survivors = cands.map_batches(verify, batch_format='pyarrow')
+    else:
+        survivors = cands.join(keys_ds.select_columns([rc]), 'left_anti',
+                               num_partitions, on=(key_col,), right_on=(rc,))
     return misses.union(survivors)

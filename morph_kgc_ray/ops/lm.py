@@ -61,12 +61,16 @@ def _flat_tokens(col) -> 'tuple[pa.Array, np.ndarray]':
 
 
 def train_unigram(ds: ray.data.Dataset, text_col: str = 'text',
-                  vocab_cap: 'int | None' = None) -> dict:
+                  vocab_cap: 'int | None' = None,
+                  small: bool = False) -> dict:
     """Fit corpus unigram statistics; returns the model dict
     ``{tokens: pa.Array, nll_fp: int64 ndarray, oov_fp: int, total: int}``.
 
     ``nll_fp[i] = floor(-ln(count_i / total) * 1e6)`` — precomputed here
-    (vocab-sized loop, libm log) so scoring is pure integer gather."""
+    (vocab-sized loop, libm log) so scoring is pure integer gather.
+    ``small=True`` (plan-time knowledge) combines the vocab-sized partials
+    in one task instead of spinning hash-shuffle aggregators."""
+    from .agg import grouped_agg
 
     def partial(t: pa.Table) -> pa.Table:
         flat, _ = _flat_tokens(t[text_col])
@@ -74,10 +78,11 @@ def train_unigram(ds: ray.data.Dataset, text_col: str = 'text',
         return pa.table({'token': vc.field('values'),
                          'partial': pc.cast(vc.field('counts'), pa.int64())})
 
-    counts = ds.map_batches(partial, batch_format='pyarrow') \
-               .groupby('token').sum('partial')
+    partials = ds.map_batches(partial, batch_format='pyarrow')
+    counts = grouped_agg(partials, ['token'], [('partial', 'sum', 'cnt')],
+                         small=small)
     vocab_df = counts.to_pandas()  # vocab-sized driver collect (see module doc)
-    cnt_col = [c for c in vocab_df.columns if c != 'token'][0]
+    cnt_col = 'cnt'
     total = int(vocab_df[cnt_col].sum())
     if vocab_cap is not None and len(vocab_df) > vocab_cap:
         vocab_df = vocab_df.sort_values([cnt_col, 'token'],
@@ -148,13 +153,14 @@ def _score_fn(model_ref, text_col: str):
 
 def unigram_lm_score(ds: ray.data.Dataset, text_col: str = 'text',
                      vocab_cap: 'int | None' = None,
-                     model: 'dict | None' = None) -> ray.data.Dataset:
+                     model: 'dict | None' = None,
+                     small: bool = False) -> ray.data.Dataset:
     """Two-pass unigram LM quality score: train (unless a fitted ``model``
     is passed) then append ``n_tokens`` + ``nll_micronats`` per document.
     Mean NLL in nats is ``nll_micronats / n_tokens / 1e6``; perplexity is
     ``exp`` of that — both monotone in the returned integers, which stay
     exact for the oracle hash."""
     if model is None:
-        model = train_unigram(ds, text_col, vocab_cap)
+        model = train_unigram(ds, text_col, vocab_cap, small=small)
     return ds.map_batches(_score_fn(ray.put(model), text_col),
                           batch_format='pyarrow')

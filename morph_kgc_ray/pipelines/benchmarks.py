@@ -215,8 +215,8 @@ def unigram_lm_documents(sf_dir: str):
     is float-order-free; DuckDB replicates token-for-token."""
     from ..ops.lm import unigram_lm_score
     ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
-    return unigram_lm_score(ds).select_columns(
-        ['doc_id', 'n_tokens', 'nll_micronats'])
+    return unigram_lm_score(ds, small=_small_table(sf_dir, 'documents')) \
+        .select_columns(['doc_id', 'n_tokens', 'nll_micronats'])
 
 
 def bloom_blocklist_documents(sf_dir: str):
@@ -234,7 +234,11 @@ def bloom_blocklist_documents(sf_dir: str):
         return t.filter(pa.array(did % 97 == 0))
 
     keys = ds.map_batches(pick, batch_format='pyarrow').select_columns(['text'])
-    return bloom_anti_join(ds, keys, 'text', num_bits=64, num_hashes=1) \
+    # stays on the DISTRIBUTED left_anti plan (small=False) on purpose —
+    # this query is the correctness certificate for the scale path; 8
+    # partitions keep the aggregator spin-up proportionate to the input
+    return bloom_anti_join(ds, keys, 'text', num_partitions=8,
+                           num_bits=64, num_hashes=1) \
         .select_columns(['doc_id'])
 
 
@@ -245,7 +249,8 @@ def cap_per_source_documents(sf_dir: str):
     from ..ops.sample import cap_per_key
     ds = read_parquet_clean(_p(sf_dir, 'documents'),
                             columns=['doc_id', 'source', 'n_chars'])
-    return cap_per_key(ds, 'source', 3, ['n_chars', 'doc_id']) \
+    return cap_per_key(ds, 'source', 3, ['n_chars', 'doc_id'],
+                       small=_small_table(sf_dir, 'documents')) \
         .select_columns(['doc_id', 'source', 'rn'])
 
 

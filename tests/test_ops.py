@@ -846,6 +846,11 @@ def test_bloom_anti_join_exact_under_false_positives(ray_session):
     expect = [(i, v) for i, v in enumerate(vals) if v not in set(block)]
     assert list(zip(out['rid'], out['key'])) == expect
 
+    # the small (broadcast-exact-verify) plan must agree with the join plan
+    small = bloom_anti_join(left, keys, 'key', num_bits=64, num_hashes=1,
+                            small=True).to_pandas().sort_values('rid')
+    assert list(zip(small['rid'], small['key'])) == expect
+
 
 def test_cap_per_key_matches_pandas_window(ray_session):
     import numpy as np
