@@ -421,6 +421,41 @@ _BOILER_A = 'Subscribe to our newsletter'
 _BOILER_B = 'Cookie policy: accept to continue'
 
 
+def url_domain_stats_pages(sf_dir: str):
+    """Crawl-frontier URL canonicalization + eTLD+1 rollup: the corpus URLs
+    are deterministically messed by url-length parity (uppercase authority
+    + fragment / default port + utm params / mixed real+tracking params /
+    multi-label-suffix host rewrite — each variant exercising one
+    normalization rule, mirrored in SQL), then normalized, grouped by
+    registrable domain.  ``total_len`` makes the hash sensitive to every
+    byte of every normalized URL."""
+    from .pages import pages_parquet_dir
+    from ..ops.url import _PREFIX_RX, domain_stats
+    sf = sf_dir.rstrip('/').rsplit('sf', 1)[-1]
+    rows = {'0.001': 1000, '0.01': 5000, '0.1': 20000}.get(sf, 2000)
+    pages = read_parquet_clean(pages_parquet_dir(rows), columns=['url'])
+
+    def mess(t: pa.Table) -> pa.Table:
+        u = t['url']
+        m = pc.bit_wise_and(pc.cast(pc.utf8_length(u), pa.int64()), 3)
+        parts = pc.extract_regex(u, _PREFIX_RX)
+        v0 = pc.binary_join_element_wise(
+            pc.utf8_upper(pc.struct_field(parts, 'pre')),
+            pc.struct_field(parts, 'rest'), '#frag', '')
+        v1 = pc.binary_join_element_wise(
+            pc.replace_substring_regex(u, r'^(https://[^/?#]*)', r'\1:443',
+                                       max_replacements=1),
+            '?utm_source=x&utm_medium=y', '')
+        v2 = pc.binary_join_element_wise(u, '?a=1&utm_campaign=z&b=2', '')
+        v3 = pc.replace_substring(u, 'example.org', 'shop.co.uk')
+        messed = pc.if_else(pc.equal(m, 0), v0,
+                            pc.if_else(pc.equal(m, 1), v1,
+                                       pc.if_else(pc.equal(m, 2), v2, v3)))
+        return pa.table({'url': messed})
+
+    return domain_stats(pages.map_batches(mess, batch_format='pyarrow'))
+
+
 def rolling_agg_events(sf_dir: str):
     """Per-user trailing-3-event rolling sum/min (feature-engineering
     windowed aggregate; exact integer cents)."""
@@ -726,6 +761,7 @@ QUERIES = {
     'rolling_agg_events': rolling_agg_events,
     'pii_redact_documents': pii_redact_documents,
     'boilerplate_paragraphs_pages': boilerplate_paragraphs_pages,
+    'url_domain_stats_pages': url_domain_stats_pages,
     'stratified_sample_documents': stratified_sample_documents,
     'quantize_embeddings_int8': quantize_embeddings_int8,
     'top_customers': top_customers,
@@ -1348,4 +1384,68 @@ def get_oracle_sql() -> dict[str, str]:
             FROM read_parquet('{pages_dir}/*.parquet'))
         GROUP BY paragraph HAVING COUNT(*) >= 2
     '''
+    out['url_domain_stats_pages'] = _url_domain_stats_oracle_sql(pages_dir)
     return out
+
+
+def _url_domain_stats_oracle_sql(pages_dir: str) -> str:
+    """SQL twin of ops/url.py normalize_urls + registrable_domains +
+    domain_stats over the parity-messed corpus (RE2 regexes on both sides,
+    same backreference syntax)."""
+    from ..ops.url import MULTI_SUFFIXES
+    suffixes = ', '.join(f"'{s}'" for s in MULTI_SUFFIXES)
+    pre_rx = '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'
+    return f'''
+    WITH messed AS (
+        SELECT CASE CAST(length(url) % 4 AS INTEGER)
+            WHEN 0 THEN upper(regexp_extract(url, '{pre_rx}'))
+                        || regexp_replace(url, '{pre_rx}', '') || '#frag'
+            WHEN 1 THEN regexp_replace(url, '^(https://[^/?#]*)', '\\1:443')
+                        || '?utm_source=x&utm_medium=y'
+            WHEN 2 THEN url || '?a=1&utm_campaign=z&b=2'
+            ELSE replace(url, 'example.org', 'shop.co.uk') END AS u
+        FROM read_parquet('{pages_dir}/*.parquet')
+    ), nofrag AS (
+        SELECT regexp_replace(u, '#.*$', '') AS u FROM messed
+    ), lowered AS (
+        SELECT CASE WHEN regexp_matches(u, '{pre_rx}')
+                    THEN lower(regexp_extract(u, '{pre_rx}'))
+                         || regexp_replace(u, '{pre_rx}', '')
+                    ELSE u END AS u
+        FROM nofrag
+    ), deport AS (
+        SELECT regexp_replace(regexp_replace(u,
+                   '^(https://[^:/?#]*):443([/?#].*)?$', '\\1\\2'),
+                   '^(http://[^:/?#]*):80([/?#].*)?$', '\\1\\2') AS u
+        FROM lowered
+    ), notrack AS (
+        SELECT regexp_replace(regexp_replace(regexp_replace(u,
+                   '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+                   '^([^?]*)&', '\\1?'),
+                   '[?&]$', '') AS u
+        FROM deport
+    ), hosted AS (
+        SELECT u,
+               regexp_replace(regexp_replace(regexp_replace(u,
+                   '^[a-z][a-z0-9+.-]*://', ''),
+                   '^[^@]*@', ''), '(/.*)?$', '') AS authority
+        FROM notrack
+    ), domained AS (
+        SELECT u,
+               CASE WHEN last2 IN ({suffixes}) AND last3 <> '' THEN last3
+                    WHEN last2 <> '' THEN last2
+                    ELSE host END AS domain
+        FROM (SELECT u,
+                     regexp_replace(authority, ':[0-9]*$', '') AS host,
+                     regexp_extract(regexp_replace(authority, ':[0-9]*$', ''),
+                                    '([^.]+\\.[^.]+)$', 1) AS last2,
+                     regexp_extract(regexp_replace(authority, ':[0-9]*$', ''),
+                                    '([^.]+\\.[^.]+\\.[^.]+)$', 1) AS last3
+              FROM hosted)
+    )
+    SELECT domain,
+           COUNT(*) AS n_pages,
+           COUNT(DISTINCT u) AS n_urls,
+           CAST(SUM(length(u)) AS BIGINT) AS total_len
+    FROM domained GROUP BY domain
+    '''
