@@ -39,7 +39,7 @@ BENCH_QUERIES = [
     'repetition_stats_documents', 'decontaminate_documents',
     'chunk_documents_windows', 'unigram_lm_documents',
     'bloom_blocklist_documents', 'cap_per_source_documents',
-    'url_domain_stats_pages',
+    'url_domain_stats_pages', 'wet_roundtrip_pages',
 ]
 
 

@@ -456,6 +456,48 @@ def url_domain_stats_pages(sf_dir: str):
     return domain_stats(pages.map_batches(mess, batch_format='pyarrow'))
 
 
+def wet_roundtrip_pages(sf_dir: str):
+    """WARC/WET source gate: the pages corpus rendered as gzipped WET
+    shards (cached), read back through the stdlib WARC parser, rolled up
+    per language.  ``checksum`` sums a 32-bit sha256 prefix of
+    (url, text) per record and the split epoch sums pin the WARC-Date
+    round trip to the microsecond — any parsing drift (bodies, headers,
+    gzip framing, fractional dates) breaks the hash against the SQL twin
+    over the source parquet."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.warc import read_wet, wet_shards_dir
+    sf = sf_dir.rstrip('/').rsplit('sf', 1)[-1]
+    rows = {'0.001': 1000, '0.01': 5000, '0.1': 20000}.get(sf, 2000)
+    ds = read_wet(wet_shards_dir(rows))
+
+    def per_record(t: pa.Table) -> pa.Table:
+        urls = t['url'].to_pylist()
+        texts = t['text'].to_pylist()
+        cs = [int.from_bytes(
+            hashlib.sha256(f'{u}\n{x}'.encode()).digest()[:4], 'big')
+            for u, x in zip(urls, texts)]
+        ts_us = pc.cast(t['warc_date'], pa.int64())
+        return pa.table({
+            'lang': t['lang'],
+            'n_chars': pc.cast(pc.utf8_length(t['text']), pa.int64()),
+            'ts_sec': pc.divide(ts_us, 1_000_000),
+            'ts_frac': pc.subtract(ts_us, pc.multiply(
+                pc.divide(ts_us, 1_000_000), 1_000_000)),
+            'checksum': pa.array(cs, pa.int64()),
+        })
+
+    return (ds.map_batches(per_record, batch_format='pyarrow')
+            .groupby('lang')
+            .aggregate(Count(alias_name='n_records'),
+                       Sum('n_chars', alias_name='total_chars'),
+                       Sum('ts_sec', alias_name='ts_sec_sum'),
+                       Sum('ts_frac', alias_name='ts_frac_sum'),
+                       Sum('checksum', alias_name='checksum')))
+
+
 def rolling_agg_events(sf_dir: str):
     """Per-user trailing-3-event rolling sum/min (feature-engineering
     windowed aggregate; exact integer cents)."""
@@ -762,6 +804,7 @@ QUERIES = {
     'pii_redact_documents': pii_redact_documents,
     'boilerplate_paragraphs_pages': boilerplate_paragraphs_pages,
     'url_domain_stats_pages': url_domain_stats_pages,
+    'wet_roundtrip_pages': wet_roundtrip_pages,
     'stratified_sample_documents': stratified_sample_documents,
     'quantize_embeddings_int8': quantize_embeddings_int8,
     'top_customers': top_customers,
@@ -1385,6 +1428,19 @@ def get_oracle_sql() -> dict[str, str]:
         GROUP BY paragraph HAVING COUNT(*) >= 2
     '''
     out['url_domain_stats_pages'] = _url_domain_stats_oracle_sql(pages_dir)
+    hx = "sha256(url || chr(10) || text)"
+    checksum = ' + '.join(
+        f'{_hexbyte_sql(hx, j)} * {1 << (8 * (3 - j))}' for j in range(4))
+    out['wet_roundtrip_pages'] = f'''
+        SELECT lang,
+               COUNT(*) AS n_records,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+               CAST(SUM(epoch_us(warc_ts) // 1000000) AS BIGINT) AS ts_sec_sum,
+               CAST(SUM(epoch_us(warc_ts) % 1000000) AS BIGINT) AS ts_frac_sum,
+               CAST(SUM({checksum}) AS BIGINT) AS checksum
+        FROM read_parquet('{pages_dir}/*.parquet')
+        GROUP BY lang
+    '''
     return out
 
 
