@@ -1009,3 +1009,88 @@ def verify_pairs_jaccard(pairs: ray.data.Dataset, docs: ray.data.Dataset, id_col
         return t.filter(pc.greater_equal(sims, threshold))
 
     return j.map_batches(score, batch_format='pyarrow')
+
+
+# --------------------------------------------------------------------------
+# exact duplicated-span detection (substring dedup, Lee et al. 2022 shape)
+# --------------------------------------------------------------------------
+
+def dup_spans(ds: 'ray.data.Dataset', id_col: str = 'doc_id',
+              text_col: str = 'text', k: int = 8,
+              token_rx: str = '[^0-9A-Za-z_]+',
+              num_partitions: int = 16) -> 'ray.data.Dataset':
+    """Documents sharing an exact word ``k``-gram span with ANY other
+    document: returns (id_col, n_dup_spans) for affected docs, where
+    ``n_dup_spans`` counts the doc's DISTINCT k-grams that occur in at
+    least one other document.  This is the detection half of exact
+    substring deduplication ("Deduplicating Training Data Makes Language
+    Models Better", Lee et al. 2022) expressed suffix-array-free: span
+    identity is the 64-bit rolling k-gram hash shared with the MinHash /
+    decontamination kernels.
+
+    Scale shape — two keyed exchanges, nothing driver-side:
+    1. map_batches: tokenize + window-hash + per-doc unique -> (gram, doc)
+       pairs (a doc lives in one batch, so pairs are globally unique);
+    2. keyed repartition on a gram-hash bucket co-locates each gram, a
+       block-local sort + run-length scan keeps pairs whose gram run spans
+       >= 2 docs (no join, no aggregate actors);
+    3. groupby(doc): count surviving distinct grams per doc.
+    Gram hashes are 8-byte fixed-width, so the exchanges ship ~16 bytes a
+    pair regardless of span length."""
+    from ray.data.aggregate import Count
+
+    from ..engine.dedup import ensure_hash_shuffle
+    from .text import regex_tokens
+    ensure_hash_shuffle()
+
+    def pairs_fn(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, counts = regex_tokens(t[text_col], token_rx)
+        if not len(flat):
+            e = pa.array([], pa.int64())
+            return pa.table({'gram': pa.array([], pa.int64()), id_col: e})
+        wh, wcounts = _window_hashes(_hash_tokens(flat), counts, k)
+        doc = np.repeat(np.arange(len(counts)), wcounts)
+        real = (counts >= k)[doc]
+        wh, doc = wh[real], doc[real]
+        if not len(wh):
+            e = pa.array([], pa.int64())
+            return pa.table({'gram': pa.array([], pa.int64()), id_col: e})
+        # per-doc unique grams: lexsort + boundary scan (doc-major)
+        order = np.lexsort((wh, doc))
+        wh, doc = wh[order], doc[order]
+        first = np.empty(len(wh), dtype=bool)
+        first[0] = True
+        first[1:] = (wh[1:] != wh[:-1]) | (doc[1:] != doc[:-1])
+        # int64 bit-view of the uint64 hashes: Ray's hash shuffle keys on
+        # native Arrow ints (uint64 keys fall back to pickled objects)
+        return pa.table({'gram': pa.array(wh[first].view(np.int64)),
+                         id_col: pa.array(ids[doc[first]])})
+
+    pairs = ds.map_batches(pairs_fn, batch_format='pyarrow')
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = t['gram'].to_numpy(zero_copy_only=False) % num_partitions
+        return t.append_column('__bucket', pa.array(np.abs(h)))
+
+    colocated = (pairs.map_batches(add_bucket, batch_format='pyarrow')
+                 .repartition(num_partitions, keys=['__bucket'], sort=False))
+
+    def keep_shared(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or 'gram' not in t.column_names:
+            return pa.table({id_col: pa.array([], pa.int64())})
+        g = t['gram'].to_numpy(zero_copy_only=False)
+        docs = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind='stable')
+        gs = g[order]
+        new = np.empty(len(gs), dtype=bool)
+        new[0] = True
+        new[1:] = gs[1:] != gs[:-1]
+        run_id = np.cumsum(new) - 1
+        run_len = np.bincount(run_id)
+        shared = run_len[run_id] >= 2   # pairs are globally (gram, doc) unique
+        return pa.table({id_col: pa.array(docs[order][shared])})
+
+    flagged = colocated.map_batches(keep_shared, batch_format='pyarrow')
+    return (flagged.groupby(id_col)
+            .aggregate(Count(alias_name='n_dup_spans')))

@@ -507,3 +507,62 @@ def repetition_stats(ds: ray.data.Dataset, text_col: str = 'text',
                  .append_column('top_2gram_count', pa.array(top)))
 
     return ds.map_batches(fn, batch_format='pyarrow')
+
+
+# --------------------------------------------------------------------------
+# corpus n-gram statistics
+# --------------------------------------------------------------------------
+
+def _ngram_strings(col, n: int, token_rx: str, sep: str = ' '):
+    """Flat Arrow array of the word n-gram strings of every row (tokens per
+    ``regex_tokens``, joined by ``sep``) — fully vectorized: shifted takes
+    of the flat token array joined element-wise, validity masked by
+    same-document membership across all n positions."""
+    flat, counts = regex_tokens(col, token_rx)
+    total = len(flat)
+    if total < n:
+        return pa.array([], pa.large_string())
+    doc = np.repeat(np.arange(len(counts)), counts)
+    keep = np.ones(total - n + 1, dtype=bool)
+    for j in range(1, n):
+        keep &= doc[j:total - n + 1 + j] == doc[:total - n + 1]
+    starts = np.flatnonzero(keep)
+    if not len(starts):
+        return pa.array([], pa.large_string())
+    parts = [flat.take(pa.array(starts + j)) for j in range(n)]
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = pc.binary_join_element_wise(joined, p, sep)
+    return joined
+
+
+def top_ngrams(ds: ray.data.Dataset, text_col: str = 'text', n: int = 2,
+               k: int = 20, token_rx: str = '[^0-9A-Za-z_]+',
+               small: bool = False) -> ray.data.Dataset:
+    """Corpus-wide top-``k`` word n-grams, deterministically tie-broken by
+    (count DESC, ngram ASC).
+
+    Scale shape: each block collapses to per-block (ngram, count) partials
+    BEFORE the exchange (classic combiner), the global sum runs through
+    ``grouped_agg`` (hash shuffle, or one task when the plan knows the
+    input is small), then each summed block keeps only its local top-k so
+    the final single-task merge sees at most ``blocks x k`` candidate rows
+    — the global top-k is always a subset of the per-block top-k's under a
+    total order, so the cap loses nothing."""
+    from .agg import grouped_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        grams = _ngram_strings(t[text_col], n, token_rx)
+        g = pa.table({'ngram': grams}).group_by('ngram').aggregate([('ngram', 'count')])
+        return pa.table({'ngram': pc.cast(g['ngram'], pa.string()),
+                         'n': pc.cast(g['ngram_count'], pa.int64())})
+
+    summed = grouped_agg(ds.map_batches(partial, batch_format='pyarrow'),
+                         ['ngram'], [('n', 'sum', 'n')], small=small)
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[('n', 'descending'), ('ngram', 'ascending')])
+        return t.take(idx[:k])
+
+    candidates = summed.map_batches(block_topk, batch_format='pyarrow')
+    return candidates.repartition(1).map_batches(block_topk, batch_format='pyarrow')

@@ -456,6 +456,22 @@ def url_domain_stats_pages(sf_dir: str):
     return domain_stats(pages.map_batches(mess, batch_format='pyarrow'))
 
 
+def top_ngrams_documents(sf_dir: str):
+    """Corpus-wide top-20 word bigrams (per-block combiner -> global sum ->
+    per-block top-k -> single-task merge), tie-broken (count DESC, ngram
+    ASC) so the selected set is deterministic on both sides."""
+    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['text'])
+    return text_ops.top_ngrams(ds, n=2, k=20, small=_small(sf_dir, 'documents'))
+
+
+def dup_spans_documents(sf_dir: str):
+    """Exact duplicated-span detection (Lee et al. substring-dedup shape):
+    docs sharing a word 8-gram with any other doc, with their distinct
+    shared-span counts."""
+    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
+    return dedup_ops.dup_spans(ds, k=8)
+
+
 def wet_roundtrip_pages(sf_dir: str):
     """WARC/WET source gate: the pages corpus rendered as gzipped WET
     shards (cached), read back through the stdlib WARC parser, rolled up
@@ -805,6 +821,8 @@ QUERIES = {
     'boilerplate_paragraphs_pages': boilerplate_paragraphs_pages,
     'url_domain_stats_pages': url_domain_stats_pages,
     'wet_roundtrip_pages': wet_roundtrip_pages,
+    'top_ngrams_documents': top_ngrams_documents,
+    'dup_spans_documents': dup_spans_documents,
     'stratified_sample_documents': stratified_sample_documents,
     'quantize_embeddings_int8': quantize_embeddings_int8,
     'top_customers': top_customers,
@@ -907,6 +925,33 @@ ORACLE_SQL = {
                array_to_string(list_slice(ts, s + 1, least(s + 32, len(ts))),
                                ' ') AS chunk_text
         FROM starts
+    ''',
+    'top_ngrams_documents': '''
+        WITH toks AS (
+          SELECT regexp_extract_all(coalesce(text, ''), '[0-9A-Za-z_]+') AS ts
+          FROM documents),
+        grams AS (
+          SELECT unnest(list_transform(range(1, len(ts)),
+                                       i -> ts[i] || ' ' || ts[i + 1])) AS ngram
+          FROM toks)
+        SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n
+        FROM grams GROUP BY ngram
+        ORDER BY n DESC, ngram ASC LIMIT 20
+    ''',
+    'dup_spans_documents': '''
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_extract_all(coalesce(text, ''), '[0-9A-Za-z_]+') AS ts
+          FROM documents),
+        g AS (
+          SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(ts) - 6),
+                                         i -> ''' + _GRAM8 + ''')) AS gram
+            FROM toks)),
+        dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans
+        FROM g JOIN dup USING (gram) GROUP BY doc_id
     ''',
     'decontaminate_documents': '''
         WITH toks AS (

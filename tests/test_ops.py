@@ -871,3 +871,58 @@ def test_cap_per_key_matches_pandas_window(ray_session):
     got = out.sort_values(['grp', 'val', 'rid']).reset_index(drop=True)
     assert got[['rid', 'grp', 'val', 'rn']].values.tolist() == \
         exp[['rid', 'grp', 'val', 'rn']].reset_index(drop=True).values.tolist()
+
+
+def test_top_ngrams_ties_and_counts(ray_session):
+    import ray.data as rd
+    from morph_kgc_ray.ops.text import top_ngrams
+    ds = rd.from_items([
+        {'text': 'a b c a b'},   # bigrams: a b, b c, c a, a b
+        {'text': 'a b x'},       # a b, b x
+        {'text': None},
+        {'text': 'solo'},        # no bigram
+    ])
+    got = top_ngrams(ds, n=2, k=3, small=True).take_all()
+    assert got == [{'ngram': 'a b', 'n': 3},
+                   {'ngram': 'b c', 'n': 1},   # count-1 ties broken ngram ASC
+                   {'ngram': 'b x', 'n': 1}]
+    # distributed combine plan agrees with the single-task plan
+    got_dist = top_ngrams(ds.repartition(3), n=2, k=3, small=False).take_all()
+    assert got_dist == got
+
+
+def test_top_ngrams_trigrams_respect_doc_boundaries(ray_session):
+    import ray.data as rd
+    from morph_kgc_ray.ops.text import top_ngrams
+    ds = rd.from_items([{'text': 'x y'}, {'text': 'z w'}])
+    # no trigram spans two docs even when tokens are adjacent in the flat array
+    assert top_ngrams(ds, n=3, k=5, small=True).take_all() == []
+
+
+def test_dup_spans_detects_shared_8grams(ray_session):
+    import ray.data as rd
+    from morph_kgc_ray.ops.dedup import dup_spans
+    shared = 'one two three four five six seven eight'   # exactly 8 tokens
+    rows = [
+        {'doc_id': 1, 'text': f'intro {shared} outro alpha beta'},
+        {'doc_id': 2, 'text': f'prefix words here {shared}'},
+        {'doc_id': 3, 'text': 'totally unrelated text with eight distinct words'},
+        {'doc_id': 4, 'text': 'short'},
+    ]
+    got = {r['doc_id']: r['n_dup_spans']
+           for r in dup_spans(rd.from_items(rows).repartition(2), k=8).take_all()}
+    # docs 1 and 2 share exactly the one 8-gram window 'one..eight'
+    assert got == {1: 1, 2: 1}
+
+
+def test_dup_spans_counts_distinct_spans_once_per_doc(ray_session):
+    import ray.data as rd
+    from morph_kgc_ray.ops.dedup import dup_spans
+    text = 'a b c d e f g h i'   # 9 tokens -> two 8-gram windows
+    rows = [{'doc_id': 1, 'text': text}, {'doc_id': 2, 'text': text},
+            {'doc_id': 3, 'text': text + ' ' + text}]  # repeats internally
+    got = {r['doc_id']: r['n_dup_spans'] for r in dup_spans(rd.from_items(rows)).take_all()}
+    # doc 3 has more windows but shares the same 2 distinct grams + its
+    # own bridging grams shared with nobody -> distinct shared grams only
+    assert got[1] == 2 and got[2] == 2
+    assert got[3] >= 2
