@@ -40,7 +40,7 @@ BENCH_QUERIES = [
     'chunk_documents_windows', 'unigram_lm_documents',
     'bloom_blocklist_documents', 'cap_per_source_documents',
     'url_domain_stats_pages', 'wet_roundtrip_pages',
-    'top_ngrams_documents', 'dup_spans_documents',
+    'top_ngrams_documents', 'dup_spans_documents', 'mixture_sample_documents',
 ]
 
 

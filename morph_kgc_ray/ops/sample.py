@@ -109,3 +109,38 @@ def cap_per_key(ds: ray.data.Dataset, group_col: str, k: int,
         lambda t: _rank_filter(t, group_col, '', k, 0, with_rank,
                                order_cols=order_cols),
         batch_format='pyarrow', batch_size=None)
+
+
+def mixture_sample(ds: ray.data.Dataset, group_col: str, id_col: str,
+                   rates: 'dict[str, float]', seed: int = 0,
+                   default_rate: float = 0.0) -> ray.data.Dataset:
+    """Deterministic weighted mixture sampling (training-mix construction):
+    keep each row of group ``g`` iff its seeded Knuth hash falls below
+    ``rates[g] * 2^32``.  Pure map stage — no shuffle at ANY scale, the
+    same row set on any cluster layout, and exact SQL replication via the
+    explicit hash formula (see module docstring).  Rates are clamped to
+    [0, 1]; groups absent from ``rates`` use ``default_rate``."""
+    items = sorted(rates.items())
+    names = pa.array([k for k, _ in items], pa.string())
+    thresholds = np.array(
+        [min(max(float(v), 0.0), 1.0) * (1 << 32) for _, v in items],
+        np.float64).astype(np.uint64)
+    default_thr = np.uint64(min(max(float(default_rate), 0.0), 1.0) * (1 << 32))
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        ids = pc.cast(t[id_col], pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        h = (ids.astype(np.uint64) * np.uint64(2654435761) + np.uint64(seed)) \
+            % np.uint64(1 << 32)
+        idx = pc.index_in(t[group_col], value_set=names)
+        idxn = idx.combine_chunks().to_numpy(zero_copy_only=False)  # float w/ nan for misses
+        known = ~np.isnan(idxn.astype(np.float64)) if idxn.dtype.kind == 'f' \
+            else np.ones(len(ids), bool)
+        thr = np.full(len(ids), default_thr, np.uint64)
+        if known.any():
+            thr[known] = thresholds[idxn[known].astype(np.int64)]
+        return t.filter(pa.array(h < thr))
+
+    return ds.map_batches(fn, batch_format='pyarrow')

@@ -369,6 +369,17 @@ def stratified_sample_documents(sf_dir: str):
                              seed=7, small=_small_table(sf_dir, 'documents'))
 
 
+def mixture_sample_documents(sf_dir: str):
+    """Training-mix construction: per-source keep rates (0, .25, .5, .75, 1
+    cycling by source index), applied as a deterministic hash threshold —
+    a pure map stage with zero shuffle at any scale."""
+    from ..ops.sample import mixture_sample
+    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'source'])
+    rates = {f'src{i}': (i % 5) / 4 for i in range(20)}
+    return mixture_sample(ds, group_col='source', id_col='doc_id',
+                          rates=rates, seed=11)
+
+
 def pii_redact_documents(sf_dir: str):
     """PII scrubbing over documents with deterministic synthetic PII
     (email/phone/IP derived from doc_id, mirrored in the SQL oracle so the
@@ -824,6 +835,7 @@ QUERIES = {
     'top_ngrams_documents': top_ngrams_documents,
     'dup_spans_documents': dup_spans_documents,
     'stratified_sample_documents': stratified_sample_documents,
+    'mixture_sample_documents': mixture_sample_documents,
     'quantize_embeddings_int8': quantize_embeddings_int8,
     'top_customers': top_customers,
     'fingerprint_documents': fingerprint_documents,
@@ -1359,6 +1371,13 @@ ORACLE_SQL['stratified_sample_documents'] = '''
                     AS BIGINT) AS rn
         FROM documents)
     WHERE rn <= 5
+'''
+
+ORACLE_SQL['mixture_sample_documents'] = '''
+    SELECT doc_id, source FROM documents
+    WHERE (doc_id * 2654435761 + 11) % 4294967296 <
+          CAST(floor(((CAST(substr(source, 4) AS BIGINT) % 5) / 4.0)
+                     * 4294967296) AS BIGINT)
 '''
 
 ORACLE_SQL['jaccard_verified_pairs_documents'] = \

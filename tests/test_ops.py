@@ -926,3 +926,22 @@ def test_dup_spans_counts_distinct_spans_once_per_doc(ray_session):
     # own bridging grams shared with nobody -> distinct shared grams only
     assert got[1] == 2 and got[2] == 2
     assert got[3] >= 2
+
+
+def test_mixture_sample_rates_and_determinism(ray_session):
+    import ray.data as rd
+    from morph_kgc_ray.ops.sample import mixture_sample
+    rows = [{'id': i, 'src': f's{i % 4}'} for i in range(4000)]
+    ds = rd.from_items(rows)
+    rates = {'s0': 1.0, 's1': 0.5, 's2': 0.0}   # s3 missing -> default_rate
+    out = mixture_sample(ds, 'src', 'id', rates, seed=3).take_all()
+    from collections import Counter
+    c = Counter(r['src'] for r in out)
+    assert c['s0'] == 1000 and c['s2'] == 0 and c.get('s3', 0) == 0
+    assert 400 < c['s1'] < 600
+    # deterministic across runs and partitionings
+    out2 = mixture_sample(ds.repartition(7), 'src', 'id', rates, seed=3).take_all()
+    assert sorted(r['id'] for r in out2) == sorted(r['id'] for r in out)
+    # default_rate keeps unlisted groups
+    out3 = mixture_sample(ds, 'src', 'id', rates, seed=3, default_rate=1.0).take_all()
+    assert Counter(r['src'] for r in out3)['s3'] == 1000
