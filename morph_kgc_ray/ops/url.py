@@ -122,18 +122,21 @@ def add_url_columns(ds: ray.data.Dataset, url_col: str = 'url',
     return ds.map_batches(fn, batch_format='pyarrow')
 
 
-def domain_stats(ds: ray.data.Dataset, url_col: str = 'url') -> ray.data.Dataset:
+def domain_stats(ds: ray.data.Dataset, url_col: str = 'url',
+                 small: bool = False) -> ray.data.Dataset:
     """Per-registrable-domain stats over a page corpus: page count,
     distinct normalized URLs, and total normalized-URL length (a cheap
     per-byte checksum for the oracle).
 
-    Two-level groupby chain — the first pass collapses to one row per
+    Two-level grouped-agg chain — the first pass collapses to one row per
     (domain, norm_url) pair inside each batch before any exchange, so on a
     crawl with heavy per-URL duplication the shuffle moves pairs, not
     pages; the second groupby is over domain cardinality only (tiny).
     Distinct-URL counting falls out of the pair collapse for free — no
-    ``count_distinct`` over raw rows anywhere."""
-    from ray.data.aggregate import Count, Sum
+    ``count_distinct`` over raw rows anywhere.  ``small=True`` (plan-time
+    knowledge) finishes both levels in single tasks instead of paying two
+    hash-shuffle operator spin-ups."""
+    from .agg import grouped_agg
 
     def pair_partial(t: pa.Table) -> pa.Table:
         norm = normalize_urls(t[url_col])
@@ -149,11 +152,22 @@ def domain_stats(ds: ray.data.Dataset, url_col: str = 'url') -> ray.data.Dataset
                 pc.cast(pc.utf8_length(g['norm_url']), pa.int64())),
         })
 
-    pairs = (ds.map_batches(pair_partial, batch_format='pyarrow')
-             .groupby(['domain', 'norm_url'])
-             .aggregate(Sum('n_pages_pair', alias_name='n_pages_pair'),
-                        Sum('len_sum', alias_name='len_sum')))
-    return (pairs.groupby('domain')
-            .aggregate(Sum('n_pages_pair', alias_name='n_pages'),
-                       Count(alias_name='n_urls'),
-                       Sum('len_sum', alias_name='total_len')))
+    pairs = grouped_agg(
+        ds.map_batches(pair_partial, batch_format='pyarrow'),
+        ['domain', 'norm_url'],
+        [('n_pages_pair', 'sum', 'n_pages_pair'),
+         ('len_sum', 'sum', 'len_sum')], small=small)
+
+    def domain_partial(t: pa.Table) -> pa.Table:
+        # rows are globally unique (domain, norm_url) pairs here, so a
+        # plain count is the distinct-URL count
+        return pa.table({'domain': t['domain'],
+                         'n_pages': t['n_pages_pair'],
+                         'n_urls': pa.array([1] * t.num_rows, pa.int64()),
+                         'total_len': t['len_sum']})
+
+    return grouped_agg(
+        pairs.map_batches(domain_partial, batch_format='pyarrow'),
+        ['domain'],
+        [('n_pages', 'sum', 'n_pages'), ('n_urls', 'sum', 'n_urls'),
+         ('total_len', 'sum', 'total_len')], small=small)

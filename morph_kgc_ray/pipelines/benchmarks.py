@@ -464,7 +464,10 @@ def url_domain_stats_pages(sf_dir: str):
                                        pc.if_else(pc.equal(m, 2), v2, v3)))
         return pa.table({'url': messed})
 
-    return domain_stats(pages.map_batches(mess, batch_format='pyarrow'))
+    # plan-time small fast path: bench corpora (<=20k urls) collapse in
+    # single tasks; the hash-shuffle plan remains for real crawls
+    return domain_stats(pages.map_batches(mess, batch_format='pyarrow'),
+                        small=rows <= 100_000)
 
 
 def top_ngrams_documents(sf_dir: str):
