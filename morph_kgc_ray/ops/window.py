@@ -1,5 +1,7 @@
 """Windowed event operators Ray Data lacks natively: sessionization
-(gaps-and-islands windowed aggregate) and a point-in-time as-of join.
+(gaps-and-islands windowed aggregate), a point-in-time as-of join, and an
+interval (range) join (:func:`range_join` — banded hash join or broadcast,
+chosen by plan-time knowledge of the interval side).
 
 Both share ONE physical plan — co-locate every row of a key into a single
 block with a hash-keyed exchange, then run a fully-vectorized numpy scan
@@ -229,3 +231,98 @@ def asof_join_prior(ds: ray.data.Dataset, key: str = 'user_id',
             'view_ts_us': pa.array(ts[m_idx], mask=~m_ok)})
 
     return ds.map_batches(scan, batch_format='pyarrow', batch_size=None)
+
+
+def range_join(left: ray.data.Dataset, right: ray.data.Dataset,
+               key: str = 'user_id', ts_col: str = 'ts',
+               lo_col: str = 'lo_us', hi_col: str = 'hi_us',
+               band_us: int = 24 * 3600 * 1_000_000,
+               num_partitions: 'int | None' = None,
+               broadcast: bool = False) -> ray.data.Dataset:
+    """Interval (range) join — an operator Ray Data lacks natively: every
+    ``left`` row joins each ``right`` interval of the same ``key`` with
+    ``lo_us <= ts < hi_us`` (half-open, microsecond int64 bounds).
+
+    Two plans, chosen by plan-time knowledge of the interval side:
+
+    - ``broadcast=True``: the interval table is collected once, ``ray.put``
+      once, and each left batch joins it in-task with an acero hash join —
+      zero shuffles (the brief's broadcast-small-side pattern; use when
+      intervals fit a worker heap).
+    - banded distributed join (default): left rows band by
+      ``ts // band_us``; each interval replicates into every band its
+      ``[lo, hi)`` overlaps (vectorized ``np.repeat`` explode — replication
+      factor is interval_width/band_us + 1, so pick ``band_us`` near the
+      typical interval width); then ONE hash-partitioned ``Dataset.join``
+      on ``(key, __band)`` followed by the exact bound filter.  A (row,
+      interval) pair meets in exactly one band — the row's own — so no
+      post-join dedup is needed.
+
+    Columns: output carries all left columns plus all right columns;
+    non-key names must be disjoint.  Rows with null key/ts/bounds drop
+    (inner-join semantics).
+    """
+    band = int(band_us)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t[ts_col], pa.int64()).combine_chunks()
+        b = ts.to_numpy(zero_copy_only=False) // band
+        return t.append_column('__band', pa.array(b.astype('int64')))
+
+    def explode_right(t: pa.Table) -> pa.Table:
+        lo = pc.cast(t[lo_col], pa.int64()).to_numpy(zero_copy_only=False)
+        hi = pc.cast(t[hi_col], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = hi > lo
+        t = t.filter(pa.array(keep))
+        lo, hi = lo[keep], hi[keep]
+        b_lo = lo // band
+        n_bands = (hi - 1) // band - b_lo + 1
+        idx = np.repeat(np.arange(len(b_lo)), n_bands)
+        # offset within each row's band run: arange minus the run's start
+        starts = np.concatenate(([0], np.cumsum(n_bands)))[:-1]
+        off = np.arange(int(n_bands.sum())) - np.repeat(starts, n_bands)
+        out = t.take(pa.array(idx))
+        return out.append_column('__band',
+                                 pa.array((b_lo[idx] + off).astype('int64')))
+
+    def bound_filter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.drop_columns([c for c in ('__band',) if c in t.column_names])
+        ts = pc.cast(t[ts_col], pa.int64())
+        ok = pc.and_(pc.greater_equal(ts, pc.cast(t[lo_col], pa.int64())),
+                     pc.less(ts, pc.cast(t[hi_col], pa.int64())))
+        t = t.filter(pc.fill_null(ok, False))
+        return t.drop_columns([c for c in ('__band',) if c in t.column_names])
+
+    if broadcast:
+        import ray as _ray
+        iv = pa.concat_tables(
+            [_ray.get(r) for r in right.to_arrow_refs()], promote_options='default')
+        iv_ref = _ray.put(explode_right(iv.combine_chunks()))
+
+        def bjoin(t: pa.Table) -> pa.Table:
+            ivt = _ray.get(iv_ref)
+            out = tag_left(t).join(ivt, keys=[key, '__band'],
+                                   join_type='inner')
+            return bound_filter(out)
+
+        return left.map_batches(bjoin, batch_format='pyarrow')
+
+    from ..engine.dedup import _ray_cpus, ensure_hash_shuffle
+    ensure_hash_shuffle()
+    nparts = num_partitions or max(8, _ray_cpus())
+    lt = left.map_batches(tag_left, batch_format='pyarrow')
+    rt = right.map_batches(explode_right, batch_format='pyarrow')
+    # Ray's hash join cannot resolve key fields when EVERY right block is
+    # empty (0-row bundles carry no schema); a limit(1) probe short-circuits
+    # the streaming executor, so the degenerate case costs one block read.
+    if not rt.limit(1).take_all():
+        l_schema = left.schema()
+        r_schema = right.schema()
+        fields = list(zip(l_schema.names, l_schema.types))
+        fields += [(n, t) for n, t in zip(r_schema.names, r_schema.types)
+                   if n != key]
+        return ray.data.from_arrow(pa.table(
+            {n: pa.array([], t) for n, t in fields}))
+    joined = lt.join(rt, 'inner', nparts, on=(key, '__band'))
+    return joined.map_batches(bound_filter, batch_format='pyarrow')

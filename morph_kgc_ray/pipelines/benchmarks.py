@@ -539,6 +539,46 @@ def rolling_agg_events(sf_dir: str):
                        small=_small_table(sf_dir, 'events'))
 
 
+def range_join_events(sf_dir: str):
+    """Interval (range) join: every event lands in each 1-day attribution
+    window opened by a purchase event of the same user (half-open
+    ``[purchase_ts, purchase_ts + 1d)``), rolled up per window with exact
+    integer cents.  Exercises ``ops.window.range_join`` — broadcast plan
+    when the events file is plan-time small, banded hash join otherwise
+    (band = window width, so each interval replicates at most twice)."""
+    from ..ops.agg import grouped_agg
+    from ..ops.window import range_join
+    day_us = 24 * 3600 * 1_000_000
+    ds = read_parquet_clean(_p(sf_dir, 'events'),
+                            columns=['user_id', 'ts', 'event_id',
+                                     'event_type', 'value'])
+
+    def windows(t: pa.Table) -> pa.Table:
+        w = t.filter(pc.equal(t['event_type'], 'purchase'))
+        lo = pc.cast(w['ts'], pa.int64())
+        return pa.table({'user_id': w['user_id'], 'wid': w['event_id'],
+                         'lo_us': lo,
+                         'hi_us': pc.add(lo, pa.scalar(day_us, pa.int64()))})
+
+    small = _small_table(sf_dir, 'events')
+    joined = range_join(
+        ds.select_columns(['user_id', 'ts', 'event_id', 'value']),
+        ds.map_batches(windows, batch_format='pyarrow'),
+        key='user_id', ts_col='ts', band_us=day_us, broadcast=small)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(t['value'], pa.scalar(100.0))),
+                        pa.int64())
+        return pa.table({'wid': t['wid'], 'event_id': t['event_id'],
+                         'value_cents': cents})
+
+    return grouped_agg(
+        joined.map_batches(partial, batch_format='pyarrow'), ['wid'],
+        [(None, 'count', 'n_events'),
+         ('value_cents', 'sum', 'sum_value_cents'),
+         ('event_id', 'max', 'max_event_id')], small=small)
+
+
 def top_customers(sf_dir: str):
     from ..ops.agg import grouped_agg
     ds = read_parquet_clean(_p(sf_dir, 'orders'), columns=['o_custkey'])
@@ -831,6 +871,7 @@ QUERIES = {
     'sessionize_events': sessionize_events,
     'asof_view_attribution_events': asof_view_attribution_events,
     'rolling_agg_events': rolling_agg_events,
+    'range_join_events': range_join_events,
     'pii_redact_documents': pii_redact_documents,
     'boilerplate_paragraphs_pages': boilerplate_paragraphs_pages,
     'url_domain_stats_pages': url_domain_stats_pages,
@@ -1082,6 +1123,21 @@ ORACLE_SQL = {
                CAST(MIN(value_cents) OVER (w ROWS BETWEEN 2 PRECEDING
                     AND CURRENT ROW) AS BIGINT) AS roll_min_cents
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ''',
+    # interval (range) join: events into same-user 1-day purchase windows
+    # (half-open bounds, exact integer cents)
+    'range_join_events': '''
+        WITH w AS (
+            SELECT event_id AS wid, user_id, epoch_us(ts) AS lo_us,
+                   epoch_us(ts) + 86400000000 AS hi_us
+            FROM events WHERE event_type = 'purchase')
+        SELECT w.wid, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(FLOOR(e.value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents,
+               MAX(e.event_id) AS max_event_id
+        FROM events e JOIN w ON e.user_id = w.user_id
+             AND epoch_us(e.ts) >= w.lo_us AND epoch_us(e.ts) < w.hi_us
+        GROUP BY w.wid
     ''',
     # as-of join: each click's most recent at-or-prior view per user
     # ((ts_us, event_id) tie order); left-outer (nulls when no prior view)

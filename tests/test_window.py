@@ -242,3 +242,49 @@ def test_window_ops_empty_buckets_string_keys(ray_session):
     assert len(a) == 2
     r = rolling_agg(ds, window=2, num_partitions=8).to_pandas()
     assert len(r) == 3
+
+
+def test_range_join_plans_agree(ray_session):
+    """Banded and broadcast range-join plans produce identical matches,
+    including multi-band intervals, half-open upper bounds, and keys with
+    no intervals."""
+    import pandas as pd
+
+    from morph_kgc_ray.ops.window import range_join
+
+    left = ray.data.from_arrow(pa.table({
+        'user_id': pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        'ts': pa.array([10 * US, 50 * US, 120 * US, 10 * US, 200 * US,
+                        5 * US], pa.timestamp('us')),
+        'event_id': pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+    })).repartition(3)
+    right = ray.data.from_arrow(pa.table({
+        'user_id': pa.array([1, 2, 9], pa.int64()),
+        'wid': pa.array([100, 200, 900], pa.int64()),
+        # user 1: [0, 50s) — hi exclusive, event at exactly 50s must NOT
+        # match; user 2: [150s, 260s) spans 4+ bands at band=30s
+        'lo_us': pa.array([0, 150 * US, 0], pa.int64()),
+        'hi_us': pa.array([50 * US, 260 * US, 1000 * US], pa.int64()),
+    }))
+    want = [(1, 100), (5, 200)]
+    for bc in (True, False):
+        out = range_join(left, right, band_us=30 * US,
+                         broadcast=bc).to_pandas()
+        got = sorted(zip(out['event_id'], out['wid']))
+        assert got == want, (bc, got)
+
+
+def test_range_join_empty_interval_dropped(ray_session):
+    from morph_kgc_ray.ops.window import range_join
+
+    left = ray.data.from_arrow(pa.table({
+        'user_id': pa.array([1], pa.int64()),
+        'ts': pa.array([0], pa.timestamp('us')),
+        'event_id': pa.array([1], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        'user_id': pa.array([1], pa.int64()),
+        'wid': pa.array([7], pa.int64()),
+        'lo_us': pa.array([0], pa.int64()),
+        'hi_us': pa.array([0], pa.int64())}))  # zero-width: matches nothing
+    for bc in (True, False):
+        assert range_join(left, right, band_us=US, broadcast=bc).count() == 0
