@@ -1,0 +1,135 @@
+"""Graph operators over an edge Dataset: fixed-point PageRank.
+
+The web-KG flagship materializes a graph; this module adds the canonical
+whole-graph analytics step a crawl/KG pipeline runs next (link authority
+for crawl prioritization / entity salience).  The reference engine has no
+graph analytics; this extends the engine the same way the dedup/window
+operators do.
+
+Semantics (deliberately SQL-replicable so the DuckDB oracle can gate it
+hash-exactly):
+
+- ranks are int64 FIXED-POINT (``scale`` units of total mass, default
+  1e12).  Integer sums are associative and order-independent, so the
+  distributed result is bit-identical to the SQL twin — no float drift.
+- ``r0(v) = scale // N`` for every node.
+- per iteration: ``contrib(u) = r(u) // outdeg(u)`` for nodes with
+  out-edges; ``r'(v) = (15 * (scale // N)) // 100 + (85 * inflow(v)) // 100``
+  where ``inflow(v)`` sums contrib over in-edges (standard d=0.85 PageRank
+  in fixed point; dangling-node mass leaks, i.e. no redistribution —
+  documented, mirrored in SQL).
+
+Two plans (same contract as ops.window.range_join):
+
+- driver fast path (``edges <= edge_cap``): one streamed collect of the
+  integer edge list, then vectorized ``np.add.at`` iterations — exact, no
+  per-row Python.  The cap bounds driver memory; above it the call
+  auto-routes to the distributed plan (the ops.dedup union-find
+  precedent).
+- distributed plan: edges stay a Dataset; each iteration is ONE hash join
+  (edges × ranks on src) + ONE grouped sum (inflow by dst), with the
+  node-sized rank table materialized between iterations (it is the small
+  side — O(nodes), not O(edges)).  Partitioning assumption: the rank
+  table's node rows fit the cluster comfortably; edges are never
+  materialized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def _base(scale: int, n: int) -> int:
+    return (15 * (scale // n)) // 100
+
+
+def pagerank(edges: ray.data.Dataset, num_nodes: int,
+             src_col: str = 'src', dst_col: str = 'dst',
+             num_iters: int = 3, scale: int = 10 ** 12,
+             edge_cap: int = 5_000_000,
+             num_partitions: 'int | None' = None) -> ray.data.Dataset:
+    """Fixed-point PageRank over ``edges``; node ids must be dense ints in
+    ``[0, num_nodes)``.  Returns a Dataset of ``(node, rank_fp)`` covering
+    every node.  Plan choice: a data-plane count picks the driver fast
+    path only when the edge list is actually ≤ ``edge_cap``."""
+    n_edges = edges.count()
+    if n_edges <= edge_cap:
+        return _pagerank_local(edges, num_nodes, src_col, dst_col,
+                               num_iters, scale)
+    return _pagerank_distributed(edges, num_nodes, src_col, dst_col,
+                                 num_iters, scale, num_partitions)
+
+
+def _pagerank_local(edges, n, src_col, dst_col, k, scale):
+    src_parts, dst_parts = [], []
+    for t in edges.iter_batches(batch_format='pyarrow'):
+        src_parts.append(pc.cast(t[src_col], pa.int64()).to_numpy(
+            zero_copy_only=False))
+        dst_parts.append(pc.cast(t[dst_col], pa.int64()).to_numpy(
+            zero_copy_only=False))
+    src = np.concatenate(src_parts) if src_parts else np.empty(0, np.int64)
+    dst = np.concatenate(dst_parts) if dst_parts else np.empty(0, np.int64)
+    outdeg = np.bincount(src, minlength=n).astype(np.int64)
+    ranks = np.full(n, scale // n, dtype=np.int64)
+    base = _base(scale, n)
+    for _ in range(k):
+        contrib = np.where(outdeg > 0, ranks // np.maximum(outdeg, 1), 0)
+        inflow = np.zeros(n, dtype=np.int64)
+        np.add.at(inflow, dst, contrib[src])
+        ranks = base + (85 * inflow) // 100
+    return ray.data.from_arrow(pa.table({
+        'node': pa.array(np.arange(n, dtype=np.int64)),
+        'rank_fp': pa.array(ranks)}))
+
+
+def _pagerank_distributed(edges, n, src_col, dst_col, k, scale,
+                          num_partitions):
+    from .agg import grouped_agg
+    from ..engine.dedup import _ray_cpus, ensure_hash_shuffle
+    ensure_hash_shuffle()
+    nparts = num_partitions or max(8, _ray_cpus())
+
+    deg = grouped_agg(edges.select_columns([src_col]), [src_col],
+                      [(None, 'count', '__outdeg')])
+    # static across iterations: every edge annotated with its source degree
+    edeg = edges.select_columns([src_col, dst_col]).join(
+        deg, 'inner', nparts, on=(src_col,)).materialize()
+
+    base = _base(scale, n)
+    nodes = ray.data.range(n).map_batches(
+        lambda t: pa.table({'node': pc.cast(t['id'], pa.int64()),
+                            'rank_fp': pa.array(
+                                np.full(t.num_rows, scale // n, np.int64))}),
+        batch_format='pyarrow')
+    ranks = nodes.materialize()
+
+    def contrib_fn(t: pa.Table) -> pa.Table:
+        c = (pc.cast(t['rank_fp'], pa.int64()).to_numpy(zero_copy_only=False)
+             // pc.cast(t['__outdeg'], pa.int64()).to_numpy(
+                 zero_copy_only=False))
+        return pa.table({'node': t[dst_col], '__in': pa.array(c)})
+
+    def zero_inflow(t: pa.Table) -> pa.Table:
+        return pa.table({'node': t['node'],
+                         '__in': pa.array(np.zeros(t.num_rows, np.int64))})
+
+    def finish(t: pa.Table) -> pa.Table:
+        inflow = pc.cast(t['__in'], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({'node': t['node'],
+                         'rank_fp': pa.array(base + (85 * inflow) // 100)})
+
+    for _ in range(k):
+        joined = edeg.join(ranks, 'inner', nparts, on=(src_col,),
+                           right_on=('node',))
+        inflow = joined.map_batches(contrib_fn, batch_format='pyarrow')
+        # union with zero rows so sink-less nodes keep their base rank
+        both = inflow.union(ranks.map_batches(zero_inflow,
+                                              batch_format='pyarrow'))
+        summed = grouped_agg(both, ['node'], [('__in', 'sum', '__in')])
+        ranks = summed.map_batches(finish,
+                                   batch_format='pyarrow').materialize()
+    return ranks

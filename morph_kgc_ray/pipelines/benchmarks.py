@@ -579,6 +579,32 @@ def range_join_events(sf_dir: str):
          ('event_id', 'max', 'max_event_id')], small=small)
 
 
+def pagerank_documents(sf_dir: str):
+    """Fixed-point PageRank (3 iterations, d=0.85, 1e12 mass units) over a
+    deterministic citation graph on the documents table: doc ``i`` links to
+    ``(i*31 + 977*j) % N`` for ``j = 1..(i % 4)`` (so ~25% of nodes dangle).
+    Integer arithmetic end-to-end — the SQL twin is hash-exact."""
+    from ..ops.graph import pagerank
+    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id'])
+    n = ds.count()
+
+    def edges_fn(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t['doc_id'], pa.int64()).to_numpy(zero_copy_only=False)
+        k = ids % 4
+        src = np.repeat(ids, k)
+        starts = np.concatenate(([0], np.cumsum(k)))[:-1]
+        j = np.arange(int(k.sum()), dtype=np.int64) - np.repeat(starts, k) + 1
+        dst = (src * 31 + 977 * j) % n
+        return pa.table({'src': pa.array(src), 'dst': pa.array(dst)})
+
+    edges = ds.map_batches(edges_fn, batch_format='pyarrow')
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(['doc_id', 'rank_fp'])
+
+    return pagerank(edges, n).map_batches(rename, batch_format='pyarrow')
+
+
 def top_customers(sf_dir: str):
     from ..ops.agg import grouped_agg
     ds = read_parquet_clean(_p(sf_dir, 'orders'), columns=['o_custkey'])
@@ -872,6 +898,7 @@ QUERIES = {
     'asof_view_attribution_events': asof_view_attribution_events,
     'rolling_agg_events': rolling_agg_events,
     'range_join_events': range_join_events,
+    'pagerank_documents': pagerank_documents,
     'pii_redact_documents': pii_redact_documents,
     'boilerplate_paragraphs_pages': boilerplate_paragraphs_pages,
     'url_domain_stats_pages': url_domain_stats_pages,
@@ -1138,6 +1165,43 @@ ORACLE_SQL = {
         FROM events e JOIN w ON e.user_id = w.user_id
              AND epoch_us(e.ts) >= w.lo_us AND epoch_us(e.ts) < w.hi_us
         GROUP BY w.wid
+    ''',
+    # fixed-point PageRank (3 unrolled iterations, d=0.85, 1e12 mass units)
+    # over the deterministic doc_id citation graph; integer // and % only,
+    # so the hash is exact (dangling mass leaks by definition on both sides)
+    'pagerank_documents': '''
+        WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents),
+        e AS (
+            SELECT d.doc_id AS src,
+                   (d.doc_id * 31 + 977 * j.j) % n.c AS dst
+            FROM documents d, n, (VALUES (1), (2), (3)) AS j(j)
+            WHERE j.j <= d.doc_id % 4),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+                FROM e GROUP BY src),
+        r0 AS (SELECT doc_id AS node, 1000000000000 // n.c AS r
+               FROM documents, n),
+        i1 AS (SELECT e.dst AS node, SUM(r0.r // deg.outdeg) AS s
+               FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src
+               GROUP BY e.dst),
+        r1 AS (SELECT r0.node,
+                      (15 * (1000000000000 // n.c)) // 100
+                      + (85 * COALESCE(i1.s, 0)) // 100 AS r
+               FROM r0 LEFT JOIN i1 USING (node), n),
+        i2 AS (SELECT e.dst AS node, SUM(r1.r // deg.outdeg) AS s
+               FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src
+               GROUP BY e.dst),
+        r2 AS (SELECT r1.node,
+                      (15 * (1000000000000 // n.c)) // 100
+                      + (85 * COALESCE(i2.s, 0)) // 100 AS r
+               FROM r1 LEFT JOIN i2 USING (node), n),
+        i3 AS (SELECT e.dst AS node, SUM(r2.r // deg.outdeg) AS s
+               FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src
+               GROUP BY e.dst),
+        r3 AS (SELECT r2.node,
+                      (15 * (1000000000000 // n.c)) // 100
+                      + (85 * COALESCE(i3.s, 0)) // 100 AS r
+               FROM r2 LEFT JOIN i3 USING (node), n)
+        SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_fp FROM r3
     ''',
     # as-of join: each click's most recent at-or-prior view per user
     # ((ts_us, event_id) tie order); left-outer (nulls when no prior view)

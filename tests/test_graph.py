@@ -1,0 +1,43 @@
+"""PageRank operator: driver fast path vs distributed join-per-iteration
+plan must agree bit-for-bit (fixed-point integer semantics)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+
+def _edges_table(n: int, seed: int = 7) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    m = n * 3
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    # leave some nodes dangling / sink-only
+    keep = src % 5 != 0
+    return pa.table({'src': pa.array(src[keep]), 'dst': pa.array(dst[keep])})
+
+
+def test_pagerank_plans_agree(ray_session):
+    from morph_kgc_ray.ops.graph import pagerank
+
+    n = 200
+    edges = ray.data.from_arrow(_edges_table(n)).repartition(4)
+    local = pagerank(edges, n).to_pandas().sort_values('node')
+    dist = pagerank(edges, n, edge_cap=0).to_pandas().sort_values('node')
+    assert len(local) == n and len(dist) == n
+    assert (local['rank_fp'].to_numpy() == dist['rank_fp'].to_numpy()).all()
+    # total mass is bounded by the scale and every rank is >= the base term
+    base = (15 * (10 ** 12 // n)) // 100
+    assert (local['rank_fp'] >= base).all()
+    assert local['rank_fp'].sum() <= 10 ** 12
+
+
+def test_pagerank_no_edges(ray_session):
+    from morph_kgc_ray.ops.graph import pagerank
+
+    edges = ray.data.from_arrow(pa.table({
+        'src': pa.array([], pa.int64()), 'dst': pa.array([], pa.int64())}))
+    out = pagerank(edges, 5).to_pandas()
+    base = (15 * (10 ** 12 // 5)) // 100
+    assert sorted(out['rank_fp']) == [base] * 5
