@@ -41,7 +41,7 @@ BENCH_QUERIES = [
     'bloom_blocklist_documents', 'cap_per_source_documents',
     'url_domain_stats_pages', 'wet_roundtrip_pages',
     'top_ngrams_documents', 'dup_spans_documents', 'mixture_sample_documents',
-    'range_join_events', 'pagerank_documents',
+    'range_join_events', 'pagerank_documents', 'normalize_text_documents',
 ]
 
 

@@ -566,3 +566,51 @@ def top_ngrams(ds: ray.data.Dataset, text_col: str = 'text', n: int = 2,
 
     candidates = summed.map_batches(block_topk, batch_format='pyarrow')
     return candidates.repartition(1).map_batches(block_topk, batch_format='pyarrow')
+
+
+# regex classes shared byte-for-byte with the SQL oracle (RE2 both sides)
+_CTRL_RX = r'[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]'
+_WS_RUN_RX = r'[ \t\n\r\f]+'
+_EDGE_WS_RX = r'^ +| +$'
+
+
+def nfc_normalize_array(arr):
+    """Unicode NFC over an Arrow string array.  ASCII is NFC by definition,
+    so a vectorized RE2 scan flags only rows containing a non-ASCII
+    codepoint and the per-row ``unicodedata.normalize`` C call (with an
+    ``is_normalized`` short-circuit) runs on just those — on web text the
+    loop touches a small minority of rows."""
+    import unicodedata
+    if not pa.types.is_string(arr.type) and not pa.types.is_large_string(arr.type):
+        arr = pc.cast(arr, pa.string())
+    has_non_ascii = pc.match_substring_regex(arr, r'[^\x00-\x7F]')
+    if not pc.any(pc.fill_null(has_non_ascii, False)).as_py():
+        return arr
+    mask = pc.fill_null(has_non_ascii, False).to_numpy(zero_copy_only=False)
+    idx = np.nonzero(mask)[0]
+    flagged = pc.take(arr, pa.array(idx)).to_pylist()
+    fixed = [s if unicodedata.is_normalized('NFC', s)
+             else unicodedata.normalize('NFC', s) for s in flagged]
+    out = np.asarray(arr.to_pylist(), dtype=object)
+    out[idx] = fixed
+    return pa.array(out, pa.string())
+
+
+def normalize_text(ds: ray.data.Dataset, text_col: str = 'text',
+                   out_col: str = 'norm_text') -> ray.data.Dataset:
+    """Canonical text cleanup for training corpora, SQL-replicable
+    (DuckDB ``nfc_normalize`` + RE2 ``regexp_replace`` produce the same
+    bytes): Unicode NFC -> control chars to spaces -> whitespace-run
+    collapse -> edge trim.  One streaming map stage; appends ``out_col``
+    and ``n_chars_norm``."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = nfc_normalize_array(t[text_col])
+        s = pc.replace_substring_regex(s, _CTRL_RX, ' ')
+        s = pc.replace_substring_regex(s, _WS_RUN_RX, ' ')
+        s = pc.replace_substring_regex(s, _EDGE_WS_RX, '')
+        t = t.append_column(out_col, s)
+        return t.append_column('n_chars_norm',
+                               pc.cast(pc.utf8_length(s), pa.int64()))
+
+    return ds.map_batches(fn, batch_format='pyarrow')

@@ -605,6 +605,33 @@ def pagerank_documents(sf_dir: str):
     return pagerank(edges, n).map_batches(rename, batch_format='pyarrow')
 
 
+def normalize_text_documents(sf_dir: str):
+    """Unicode NFC + control-strip + whitespace-collapse + trim over the
+    documents corpus, with deterministic per-row mess injected by
+    ``doc_id % 4`` so every normalization rule is exercised (combining
+    acute -> composed é, Angstrom sign -> Å, control/tab characters,
+    edge whitespace).  DuckDB's utf8proc NFC and CPython's unicodedata
+    produce identical bytes (hash-checked)."""
+    from ..ops.text import normalize_text
+    ds = read_parquet_clean(_p(sf_dir, 'documents'),
+                            columns=['doc_id', 'text'])
+
+    def mess(t: pa.Table) -> pa.Table:
+        m = pc.bit_wise_and(pc.cast(t['doc_id'], pa.int64()), 3)
+        txt = t['text']
+        v0 = pc.binary_join_element_wise(txt, ' Cafe\u0301', '')
+        v1 = pc.binary_join_element_wise(txt, ' \u212Bngstrom', '')
+        v2 = pc.binary_join_element_wise(txt, '\x07bell\ttab', '')
+        v3 = pc.binary_join_element_wise('  ', txt, '  ', '')
+        messed = pc.if_else(pc.equal(m, 0), v0,
+                            pc.if_else(pc.equal(m, 1), v1,
+                                       pc.if_else(pc.equal(m, 2), v2, v3)))
+        return pa.table({'doc_id': t['doc_id'], 'text': messed})
+
+    out = normalize_text(ds.map_batches(mess, batch_format='pyarrow'))
+    return out.select_columns(['doc_id', 'norm_text', 'n_chars_norm'])
+
+
 def top_customers(sf_dir: str):
     from ..ops.agg import grouped_agg
     ds = read_parquet_clean(_p(sf_dir, 'orders'), columns=['o_custkey'])
@@ -899,6 +926,7 @@ QUERIES = {
     'rolling_agg_events': rolling_agg_events,
     'range_join_events': range_join_events,
     'pagerank_documents': pagerank_documents,
+    'normalize_text_documents': normalize_text_documents,
     'pii_redact_documents': pii_redact_documents,
     'boilerplate_paragraphs_pages': boilerplate_paragraphs_pages,
     'url_domain_stats_pages': url_domain_stats_pages,
@@ -1202,6 +1230,31 @@ ORACLE_SQL = {
                       + (85 * COALESCE(i3.s, 0)) // 100 AS r
                FROM r2 LEFT JOIN i3 USING (node), n)
         SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_fp FROM r3
+    ''',
+    # Unicode NFC + control-strip + whitespace-collapse + trim; the mess
+    # (decomposed accents / Angstrom sign / control chars / edge spaces)
+    # is injected by doc_id so every rule fires; utf8proc NFC == CPython
+    # unicodedata NFC byte-for-byte on these sequences
+    'normalize_text_documents': '''
+        WITH m AS (
+            SELECT doc_id,
+                   CASE CAST(doc_id % 4 AS INTEGER)
+                       WHEN 0 THEN text || ' Cafe' || chr(769)
+                       WHEN 1 THEN text || ' ' || chr(8491) || 'ngstrom'
+                       WHEN 2 THEN text || chr(7) || 'bell' || chr(9) || 'tab'
+                       ELSE '  ' || text || '  ' END AS t
+            FROM documents),
+        norm AS (
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       nfc_normalize(t),
+                       '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', ' ', 'g'),
+                       '[ \\t\\n\\r\\f]+', ' ', 'g'),
+                       '^ +| +$', '', 'g') AS norm_text
+            FROM m)
+        SELECT doc_id, norm_text,
+               CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+        FROM norm
     ''',
     # as-of join: each click's most recent at-or-prior view per user
     # ((ts_us, event_id) tie order); left-outer (nulls when no prior view)

@@ -945,3 +945,56 @@ def test_mixture_sample_rates_and_determinism(ray_session):
     # default_rate keeps unlisted groups
     out3 = mixture_sample(ds, 'src', 'id', rates, seed=3, default_rate=1.0).take_all()
     assert Counter(r['src'] for r in out3)['s3'] == 1000
+
+
+def test_nfc_normalize_array_matches_unicodedata():
+    import unicodedata
+
+    from morph_kgc_ray.ops.text import nfc_normalize_array
+
+    cases = ['plain ascii', 'Café', 'Ångstrom', 'König',
+             'already é', '', None, 'ﬁne stays ligature in NFC',
+             'à̖mixed marks']
+    out = nfc_normalize_array(pa.array(cases, pa.string())).to_pylist()
+    want = [None if s is None else unicodedata.normalize('NFC', s)
+            for s in cases]
+    assert out == want
+
+
+def test_nfc_normalize_hypothesis_vs_duckdb(ray_session):
+    """Arbitrary Unicode through the Arrow kernel must match DuckDB's
+    utf8proc nfc_normalize byte-for-byte (the oracle's other side)."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    from morph_kgc_ray.ops.text import nfc_normalize_array
+
+    con = duckdb.connect()
+
+    # no surrogates (invalid UTF-8) and no NUL: duckdb's parameter binding
+    # truncates at an embedded NUL (a bind artifact, not an NFC divergence)
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.text(
+        alphabet=st.characters(blacklist_categories=('Cs',),
+                               blacklist_characters='\x00'),
+        max_size=40), min_size=1, max_size=8))
+    def check(strings):
+        got = nfc_normalize_array(pa.array(strings, pa.string())).to_pylist()
+        want = [con.execute('select nfc_normalize(?)', [s]).fetchone()[0]
+                for s in strings]
+        assert got == want
+
+    check()
+
+
+def test_normalize_text_pipeline(ray_session):
+    import ray.data as rd
+
+    from morph_kgc_ray.ops.text import normalize_text
+
+    ds = rd.from_arrow(pa.table({
+        'text': pa.array(['  a\x07b\t\tc  ', 'Café\n\nx', 'ok'],
+                         pa.string())}))
+    out = normalize_text(ds).to_pandas()
+    assert list(out['norm_text']) == ['a b c', 'Café x', 'ok']
+    assert list(out['n_chars_norm']) == [5, 6, 2]
