@@ -133,3 +133,23 @@ def _pagerank_distributed(edges, n, src_col, dst_col, k, scale,
         ranks = summed.map_batches(finish,
                                    batch_format='pyarrow').materialize()
     return ranks
+
+
+def connected_components(edges: ray.data.Dataset, src_col: str = 'src',
+                         dst_col: str = 'dst', id_col: str = 'node',
+                         **kwargs) -> ray.data.Dataset:
+    """Connected-component labels (label = min id reachable in the
+    component) over an arbitrary integer edge Dataset — a thin lift of
+    :func:`morph_kgc_ray.ops.dedup.min_label_clusters` (convergent
+    min-label propagation in the data plane, driver union-find fast path
+    below its edge cap) onto ``(src, dst)`` naming.  Only nodes incident
+    to an edge are labeled; isolated nodes are their own trivial
+    components by definition and are omitted, matching the SQL closure."""
+    from .dedup import min_label_clusters
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({'id_a': pc.cast(t[src_col], pa.int64()),
+                         'id_b': pc.cast(t[dst_col], pa.int64())})
+
+    return min_label_clusters(edges.map_batches(rename, batch_format='pyarrow'),
+                              id_col=id_col, **kwargs)

@@ -605,6 +605,25 @@ def pagerank_documents(sf_dir: str):
     return pagerank(edges, n).map_batches(rename, batch_format='pyarrow')
 
 
+def connected_components_documents(sf_dir: str):
+    """Connected components over a deterministic sparse chain graph on
+    doc_ids (edge ``i -> i+3`` when ``i % 9 < 6``: three-node chains per
+    residue class, some pairs at corpus edges).  Labels = min reachable id,
+    involved nodes only — matching the recursive-closure SQL twin."""
+    from ..ops.graph import connected_components
+    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id'])
+    n = ds.count()
+
+    def edges_fn(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t['doc_id'], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (ids % 9 < 6) & (ids + 3 < n)
+        s = ids[keep]
+        return pa.table({'src': pa.array(s), 'dst': pa.array(s + 3)})
+
+    edges = ds.map_batches(edges_fn, batch_format='pyarrow')
+    return connected_components(edges, id_col='doc_id')
+
+
 def normalize_text_documents(sf_dir: str):
     """Unicode NFC + control-strip + whitespace-collapse + trim over the
     documents corpus, with deterministic per-row mess injected by
@@ -927,6 +946,7 @@ QUERIES = {
     'range_join_events': range_join_events,
     'pagerank_documents': pagerank_documents,
     'normalize_text_documents': normalize_text_documents,
+    'connected_components_documents': connected_components_documents,
     'pii_redact_documents': pii_redact_documents,
     'boilerplate_paragraphs_pages': boilerplate_paragraphs_pages,
     'url_domain_stats_pages': url_domain_stats_pages,
@@ -1668,6 +1688,12 @@ def get_oracle_sql() -> dict[str, str]:
         GROUP BY paragraph HAVING COUNT(*) >= 2
     '''
     out['url_domain_stats_pages'] = _url_domain_stats_oracle_sql(pages_dir)
+    out['connected_components_documents'] = _components_sql(
+        '''pairs AS (
+            SELECT doc_id AS id_a, doc_id + 3 AS id_b FROM documents
+            WHERE doc_id % 9 < 6
+              AND doc_id + 3 < (SELECT COUNT(*) FROM documents))''',
+        'doc_id')
     hx = "sha256(url || chr(10) || text)"
     checksum = ' + '.join(
         f'{_hexbyte_sql(hx, j)} * {1 << (8 * (3 - j))}' for j in range(4))

@@ -41,3 +41,17 @@ def test_pagerank_no_edges(ray_session):
     out = pagerank(edges, 5).to_pandas()
     base = (15 * (10 ** 12 // 5)) // 100
     assert sorted(out['rank_fp']) == [base] * 5
+
+
+def test_connected_components_wrapper(ray_session):
+    from morph_kgc_ray.ops.graph import connected_components
+
+    edges = ray.data.from_arrow(pa.table({
+        'src': pa.array([1, 2, 10, 30], pa.int64()),
+        'dst': pa.array([2, 3, 11, 30], pa.int64())}))
+    # driver union-find path and fixed-round distributed propagation agree
+    fast = connected_components(edges).to_pandas()
+    dist = connected_components(edges, rounds=4).to_pandas()
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 30: 30}
+    for out in (fast, dist):
+        assert dict(zip(out['node'], out['cluster_id'])) == want
