@@ -42,7 +42,7 @@ BENCH_QUERIES = [
     'url_domain_stats_pages', 'wet_roundtrip_pages',
     'top_ngrams_documents', 'dup_spans_documents', 'mixture_sample_documents',
     'range_join_events', 'pagerank_documents', 'normalize_text_documents',
-    'connected_components_documents',
+    'connected_components_documents', 'inverted_index_documents',
 ]
 
 

@@ -614,3 +614,99 @@ def normalize_text(ds: ray.data.Dataset, text_col: str = 'text',
                                pc.cast(pc.utf8_length(s), pa.int64()))
 
     return ds.map_batches(fn, batch_format='pyarrow')
+
+
+def inverted_index(ds: ray.data.Dataset, id_col: str = 'doc_id',
+                   text_col: str = 'text', min_df: int = 2,
+                   token_rx: str = '[^0-9A-Za-z_]+',
+                   num_partitions: 'int | None' = None,
+                   small: bool = False) -> ray.data.Dataset:
+    """Distributed inverted index: one output row per token with document
+    frequency, min/max doc id, and the full posting list (doc ids ascending,
+    comma-joined — DuckDB ``string_agg(... ORDER BY doc_id)`` parity).
+
+    Scale shape: per-batch tokenize -> per-doc DISTINCT (dictionary-encoded
+    int lexsort, no string comparisons) -> ONE token-keyed exchange -> fully
+    vectorized per-block assembly (boundary scan + ``ListArray`` +
+    ``binary_join``; no per-token Python).  ``min_df`` prunes the long
+    singleton tail BEFORE results ship.  Skew note: stopword-scale tokens
+    concentrate their postings in one partition — raise ``min_df``, add a
+    stopword filter, or shard hot tokens upstream when indexing raw web
+    text at 100 TB."""
+    def pairs_partial(t: pa.Table) -> pa.Table:
+        flat, counts = regex_tokens(t[text_col], token_rx)
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        doc = np.repeat(ids, counts)
+        if len(doc) == 0:
+            return pa.table({'token': pa.array([], pa.string()),
+                             'doc_id': pa.array([], pa.int64())})
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((codes, doc))
+        c_s, d_s = codes[order], doc[order]
+        keep = np.empty(len(c_s), bool)
+        keep[0] = True
+        keep[1:] = (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])
+        toks = enc.dictionary.take(pa.array(c_s[keep]))
+        return pa.table({'token': pc.cast(toks, pa.string()),
+                         'doc_id': pa.array(d_s[keep])})
+
+    pairs = ds.map_batches(pairs_partial, batch_format='pyarrow')
+    if small:
+        pairs = pairs.repartition(1)
+    else:
+        from ..engine.dedup import _ray_cpus, ensure_hash_shuffle
+        ensure_hash_shuffle()
+        nparts = num_partitions or max(8, _ray_cpus())
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t.append_column('__bucket', pa.array([], pa.int64()))
+            import polars as pl
+            h = pl.from_arrow(t.select(['token'])).hash_rows(seed=3).to_numpy()
+            return t.append_column(
+                '__bucket', pa.array((h % nparts).astype('int64')))
+
+        pairs = pairs.map_batches(add_bucket, batch_format='pyarrow') \
+                     .repartition(nparts, keys=['__bucket'], sort=False)
+
+    def assemble(t: pa.Table) -> pa.Table:
+        empty = pa.table({'token': pa.array([], pa.string()),
+                          'df': pa.array([], pa.int64()),
+                          'min_doc': pa.array([], pa.int64()),
+                          'max_doc': pa.array([], pa.int64()),
+                          'postings': pa.array([], pa.string())})
+        if t.num_rows == 0 or 'token' not in t.column_names:
+            return empty
+        if '__bucket' in t.column_names:
+            t = t.drop_columns(['__bucket'])
+        t = t.sort_by([('token', 'ascending'), ('doc_id', 'ascending')])
+        tok = t['token'].combine_chunks()
+        enc = pc.dictionary_encode(tok)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        n = len(codes)
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = codes[1:] != codes[:-1]
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], n)
+        df = (ends - starts).astype(np.int64)
+        doc = pc.cast(t['doc_id'], pa.int64()).combine_chunks()
+        doc_np = doc.to_numpy(zero_copy_only=False)
+        offsets = pa.array(np.append(starts, n).astype(np.int32))
+        lists = pa.ListArray.from_arrays(offsets, pc.cast(doc, pa.string()))
+        out = pa.table({
+            'token': pc.cast(tok.take(pa.array(starts)), pa.string()),
+            'df': pa.array(df),
+            'min_doc': pa.array(doc_np[starts]),
+            'max_doc': pa.array(doc_np[ends - 1]),
+            'postings': pc.cast(pc.binary_join(lists, ','), pa.string()),
+        })
+        return out.filter(pc.greater_equal(out['df'], min_df))
+
+    return pairs.map_batches(assemble, batch_format='pyarrow',
+                             batch_size=None)

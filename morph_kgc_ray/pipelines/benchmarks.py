@@ -605,6 +605,15 @@ def pagerank_documents(sf_dir: str):
     return pagerank(edges, n).map_batches(rename, batch_format='pyarrow')
 
 
+def inverted_index_documents(sf_dir: str):
+    """Distributed inverted index over the documents corpus: per token,
+    document frequency, min/max doc id and the full ascending posting list
+    (comma-joined — byte-equal to DuckDB's ordered string_agg)."""
+    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
+    return text_ops.inverted_index(ds, min_df=25,
+                                   small=_small(sf_dir, 'documents'))
+
+
 def connected_components_documents(sf_dir: str):
     """Connected components over a deterministic sparse chain graph on
     doc_ids (edge ``i -> i+3`` when ``i % 9 < 6``: three-node chains per
@@ -947,6 +956,7 @@ QUERIES = {
     'pagerank_documents': pagerank_documents,
     'normalize_text_documents': normalize_text_documents,
     'connected_components_documents': connected_components_documents,
+    'inverted_index_documents': inverted_index_documents,
     'pii_redact_documents': pii_redact_documents,
     'boilerplate_paragraphs_pages': boilerplate_paragraphs_pages,
     'url_domain_stats_pages': url_domain_stats_pages,
@@ -1250,6 +1260,19 @@ ORACLE_SQL = {
                       + (85 * COALESCE(i3.s, 0)) // 100 AS r
                FROM r2 LEFT JOIN i3 USING (node), n)
         SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_fp FROM r3
+    ''',
+    # inverted index: per-doc distinct tokens ([0-9A-Za-z_]+ runs, RE2 both
+    # sides), df >= 25, postings = ascending comma-joined doc ids
+    'inverted_index_documents': '''
+        WITH toks AS (
+            SELECT doc_id, UNNEST(list_distinct(
+                regexp_extract_all(text, '[0-9A-Za-z_]+'))) AS token
+            FROM documents)
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                   AS postings
+        FROM toks GROUP BY token HAVING COUNT(*) >= 25
     ''',
     # Unicode NFC + control-strip + whitespace-collapse + trim; the mess
     # (decomposed accents / Angstrom sign / control chars / edge spaces)

@@ -998,3 +998,24 @@ def test_normalize_text_pipeline(ray_session):
     out = normalize_text(ds).to_pandas()
     assert list(out['norm_text']) == ['a b c', 'Café x', 'ok']
     assert list(out['n_chars_norm']) == [5, 6, 2]
+
+
+def test_inverted_index_plans_agree(ray_session):
+    import ray.data as rd
+
+    from morph_kgc_ray.ops.text import inverted_index
+
+    ds = rd.from_arrow(pa.table({
+        'doc_id': pa.array([3, 1, 2, 4], pa.int64()),
+        'text': pa.array(['b a a b', 'a c', 'a b', ''], pa.string()),
+    })).repartition(3)
+    want = [
+        {'token': 'a', 'df': 3, 'min_doc': 1, 'max_doc': 3,
+         'postings': '1,2,3'},
+        {'token': 'b', 'df': 2, 'min_doc': 2, 'max_doc': 3,
+         'postings': '2,3'},
+    ]
+    for small in (True, False):
+        out = inverted_index(ds, min_df=2, small=small).to_pandas() \
+            .sort_values('token').to_dict('records')
+        assert out == want, (small, out)
