@@ -605,6 +605,15 @@ def pagerank_documents(sf_dir: str):
     return pagerank(edges, n).map_batches(rename, batch_format='pyarrow')
 
 
+def kmv_distinct_texts_documents(sf_dir: str):
+    """KMV (bottom-64) distinct-count sketch over the documents' text
+    values — deterministic given the sha256 hash, so the sketch itself
+    (kept count, k-th minimum, estimate) is hash-checked against SQL."""
+    from ..ops.sketch import kmv_distinct
+    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['text'])
+    return kmv_distinct(ds, col='text', k=64)
+
+
 def inverted_index_documents(sf_dir: str):
     """Distributed inverted index over the documents corpus: per token,
     document frequency, min/max doc id and the full ascending posting list
@@ -957,6 +966,7 @@ QUERIES = {
     'normalize_text_documents': normalize_text_documents,
     'connected_components_documents': connected_components_documents,
     'inverted_index_documents': inverted_index_documents,
+    'kmv_distinct_texts_documents': kmv_distinct_texts_documents,
     'pii_redact_documents': pii_redact_documents,
     'boilerplate_paragraphs_pages': boilerplate_paragraphs_pages,
     'url_domain_stats_pages': url_domain_stats_pages,
@@ -1640,6 +1650,33 @@ ORACLE_SQL['lang_id_documents'] = (
     f"FROM (SELECT doc_id, {_langid_score_columns('text')} FROM documents)")
 
 
+def _kmv_oracle_sql(k: int) -> str:
+    """KMV bottom-``k`` sketch over distinct text values: 63-bit big-endian
+    sha256 prefix (>> 1), k smallest distinct hashes, Bar-Yossef estimate —
+    all in HUGEINT so the arithmetic matches the Python ints exactly."""
+    h_expr = ' + '.join(
+        f'{_hexbyte_sql("hx", j)}::HUGEINT * {1 << (8 * (7 - j))}::HUGEINT'
+        for j in range(8))
+    half = 1 << 63
+    return f'''
+        WITH vals AS (SELECT DISTINCT text AS v FROM documents
+                      WHERE text IS NOT NULL),
+        h AS (SELECT DISTINCT (({h_expr}) // 2::HUGEINT) AS hv
+              FROM (SELECT sha256(v) AS hx FROM vals)),
+        kmin AS (SELECT hv FROM h ORDER BY hv LIMIT {k}),
+        agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(hv) AS kth
+                FROM kmin)
+        SELECT n_kept,
+               CAST(CASE WHEN n_kept < {k} THEN -1 ELSE kth END AS BIGINT)
+                   AS kth_min_hash,
+               CAST(CASE WHEN n_kept < {k} THEN n_kept::HUGEINT
+                    ELSE LEAST({k - 1}::HUGEINT * {half}::HUGEINT // kth,
+                               {half - 1}::HUGEINT) END AS BIGINT)
+                   AS est_distinct
+        FROM agg
+    '''
+
+
 def _hexbyte_sql(hexcol: str, j: int) -> str:
     """SQL expression for byte ``j`` of a lowercase hex digest string."""
     hi = f"(strpos('0123456789abcdef', substr({hexcol}, {2 * j + 1}, 1)) - 1)"
@@ -1711,6 +1748,7 @@ def get_oracle_sql() -> dict[str, str]:
         GROUP BY paragraph HAVING COUNT(*) >= 2
     '''
     out['url_domain_stats_pages'] = _url_domain_stats_oracle_sql(pages_dir)
+    out['kmv_distinct_texts_documents'] = _kmv_oracle_sql(k=64)
     out['connected_components_documents'] = _components_sql(
         '''pairs AS (
             SELECT doc_id AS id_a, doc_id + 3 AS id_b FROM documents

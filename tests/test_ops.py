@@ -1019,3 +1019,29 @@ def test_inverted_index_plans_agree(ray_session):
         out = inverted_index(ds, min_df=2, small=small).to_pandas() \
             .sort_values('token').to_dict('records')
         assert out == want, (small, out)
+
+
+def test_kmv_distinct_sketch(ray_session):
+    import ray.data as rd
+
+    from morph_kgc_ray.ops.sketch import kmv_distinct
+
+    # exact regime: fewer distinct values than k
+    small = rd.from_arrow(pa.table({
+        'text': pa.array(['a', 'b', 'a', 'c'], pa.string())}))
+    row = kmv_distinct(small, k=64).take_all()[0]
+    assert (row['n_kept'], row['kth_min_hash'], row['est_distinct']) == (3, -1, 3)
+
+    # estimating regime: 5000 distinct values, k=128 -> within ~20%
+    big = rd.from_arrow(pa.table({
+        'text': pa.array([f'v{i}' for i in range(5000)], pa.string())})) \
+        .repartition(8)
+    row = kmv_distinct(big, k=128).take_all()[0]
+    assert row['n_kept'] == 128 and row['kth_min_hash'] > 0
+    assert 4000 <= row['est_distinct'] <= 6000
+
+    # token mode sketches the vocabulary, not the rows
+    toks = rd.from_arrow(pa.table({
+        'text': pa.array(['x y', 'y z', 'z x'], pa.string())}))
+    row = kmv_distinct(toks, k=64, token_rx='[^0-9A-Za-z_]+').take_all()[0]
+    assert row['est_distinct'] == 3
