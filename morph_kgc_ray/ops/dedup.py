@@ -1018,7 +1018,8 @@ def verify_pairs_jaccard(pairs: ray.data.Dataset, docs: ray.data.Dataset, id_col
 def dup_spans(ds: 'ray.data.Dataset', id_col: str = 'doc_id',
               text_col: str = 'text', k: int = 8,
               token_rx: str = '[^0-9A-Za-z_]+',
-              num_partitions: int = 16) -> 'ray.data.Dataset':
+              num_partitions: int = 16,
+              small: bool = False) -> 'ray.data.Dataset':
     """Documents sharing an exact word ``k``-gram span with ANY other
     document: returns (id_col, n_dup_spans) for affected docs, where
     ``n_dup_spans`` counts the doc's DISTINCT k-grams that occur in at
@@ -1033,13 +1034,15 @@ def dup_spans(ds: 'ray.data.Dataset', id_col: str = 'doc_id',
        pairs (a doc lives in one batch, so pairs are globally unique);
     2. keyed repartition on a gram-hash bucket co-locates each gram, a
        block-local sort + run-length scan keeps pairs whose gram run spans
-       >= 2 docs (no join, no aggregate actors);
-    3. groupby(doc): count surviving distinct grams per doc.
-    Gram hashes are 8-byte fixed-width, so the exchanges ship ~16 bytes a
-    pair regardless of span length."""
-    from ray.data.aggregate import Count
-
+       >= 2 docs AND collapses them to per-block (doc, partial-count) rows
+       (no join, no per-pair rows past this point);
+    3. grouped sum over the tiny partials (single task when the plan knows
+       the corpus is small, hash groupby otherwise).
+    Gram hashes are 8-byte fixed-width, so the gram exchange ships ~16
+    bytes a pair regardless of span length; the count exchange ships at
+    most one row per (block, doc)."""
     from ..engine.dedup import ensure_hash_shuffle
+    from .agg import grouped_agg
     from .text import regex_tokens
     ensure_hash_shuffle()
 
@@ -1077,8 +1080,10 @@ def dup_spans(ds: 'ray.data.Dataset', id_col: str = 'doc_id',
                  .repartition(num_partitions, keys=['__bucket'], sort=False))
 
     def keep_shared(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          '__n': pa.array([], pa.int64())})
         if t.num_rows == 0 or 'gram' not in t.column_names:
-            return pa.table({id_col: pa.array([], pa.int64())})
+            return empty
         g = t['gram'].to_numpy(zero_copy_only=False)
         docs = t[id_col].to_numpy(zero_copy_only=False)
         order = np.argsort(g, kind='stable')
@@ -1089,8 +1094,13 @@ def dup_spans(ds: 'ray.data.Dataset', id_col: str = 'doc_id',
         run_id = np.cumsum(new) - 1
         run_len = np.bincount(run_id)
         shared = run_len[run_id] >= 2   # pairs are globally (gram, doc) unique
-        return pa.table({id_col: pa.array(docs[order][shared])})
+        if not shared.any():
+            return empty
+        # collapse to per-doc partial counts before the final exchange
+        d, n = np.unique(docs[order][shared], return_counts=True)
+        return pa.table({id_col: pa.array(d),
+                         '__n': pa.array(n.astype(np.int64))})
 
     flagged = colocated.map_batches(keep_shared, batch_format='pyarrow')
-    return (flagged.groupby(id_col)
-            .aggregate(Count(alias_name='n_dup_spans')))
+    return grouped_agg(flagged, [id_col],
+                       [('__n', 'sum', 'n_dup_spans')], small=small)

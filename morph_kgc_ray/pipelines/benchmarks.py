@@ -483,7 +483,7 @@ def dup_spans_documents(sf_dir: str):
     docs sharing a word 8-gram with any other doc, with their distinct
     shared-span counts."""
     ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
-    return dedup_ops.dup_spans(ds, k=8)
+    return dedup_ops.dup_spans(ds, k=8, small=_small(sf_dir, 'documents'))
 
 
 def wet_roundtrip_pages(sf_dir: str):
