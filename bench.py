@@ -43,7 +43,7 @@ BENCH_QUERIES = [
     'top_ngrams_documents', 'dup_spans_documents', 'mixture_sample_documents',
     'range_join_events', 'pagerank_documents', 'normalize_text_documents',
     'connected_components_documents', 'inverted_index_documents',
-    'kmv_distinct_texts_documents',
+    'kmv_distinct_texts_documents', 'remove_boilerplate_pages',
 ]
 
 

@@ -710,3 +710,69 @@ def inverted_index(ds: ray.data.Dataset, id_col: str = 'doc_id',
 
     return pairs.map_batches(assemble, batch_format='pyarrow',
                              batch_size=None)
+
+
+def remove_boilerplate(ds: ray.data.Dataset, text_col: str = 'text',
+                       sep: str = '\n', min_count: int = 2,
+                       out_col: str = 'clean_text',
+                       max_boiler: int = 2_000_000,
+                       small: bool = False) -> ray.data.Dataset:
+    """CCNet-style boilerplate REMOVAL — the rewrite half of
+    :func:`paragraph_counts`: paragraphs occurring >= ``min_count`` times
+    corpus-wide (nav bars, cookie banners, footers) are dropped from every
+    document, kept paragraphs re-joined in order with ``sep``.
+
+    Plan: pass 1 reuses ``paragraph_counts`` (partial-agg counts); the
+    repeated-paragraph set is streamed to the driver and broadcast ONCE
+    via ``ray.put`` (the decontamination pattern — boilerplate sets are
+    small by nature since each entry must repeat; ``max_boiler`` bounds
+    the broadcast and raises with guidance above it).  Pass 2 is one
+    zero-shuffle map stage: vectorized split -> ``is_in`` against the
+    broadcast set -> offset rebuild -> ``binary_join``.  Appends
+    ``out_col`` and ``n_removed``."""
+    import ray as _ray
+
+    counts = paragraph_counts(ds, text_col, sep, min_count, small=small)
+    parts, total = [], 0
+    for t in counts.iter_batches(batch_format='pyarrow'):
+        col = pc.cast(t['paragraph'], pa.string())
+        parts.append(col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+                     else col)
+        total += t.num_rows
+        if total > max_boiler:
+            raise ValueError(
+                f'boilerplate set exceeds max_boiler={max_boiler}; raise '
+                f'min_count or max_boiler (the set must fit one broadcast)')
+    boiler = pa.concat_arrays(parts) if parts else pa.array([], pa.string())
+    ref = _ray.put(boiler)
+
+    def clean(t: pa.Table) -> pa.Table:
+        b = _ray.get(ref)
+        paras = pc.split_pattern(pc.fill_null(t[text_col], ''), sep)
+        if isinstance(paras, pa.ChunkedArray):
+            paras = paras.combine_chunks()
+        flat = pc.list_flatten(paras)
+        lens = pc.list_value_length(paras).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(flat) == 0:
+            keep = np.empty(0, bool)
+        elif len(b) == 0:
+            keep = np.ones(len(flat), bool)
+        else:
+            keep = pc.invert(pc.is_in(flat, value_set=b)).to_numpy(
+                zero_copy_only=False)
+        doc = np.repeat(np.arange(len(lens)), lens)
+        kept_per_doc = np.bincount(doc[keep], minlength=len(lens)) \
+            if len(doc) else np.zeros(len(lens), np.int64)
+        offsets = pa.array(
+            np.concatenate(([0], np.cumsum(kept_per_doc))).astype(np.int32))
+        kept_flat = flat.filter(pa.array(keep)) if len(flat) else flat
+        if isinstance(kept_flat, pa.ChunkedArray):
+            kept_flat = kept_flat.combine_chunks()
+        lists = pa.ListArray.from_arrays(offsets, kept_flat)
+        t = t.append_column(out_col,
+                            pc.cast(pc.binary_join(lists, sep), pa.string()))
+        return t.append_column(
+            'n_removed', pa.array((lens - kept_per_doc).astype(np.int64)))
+
+    return ds.map_batches(clean, batch_format='pyarrow')

@@ -432,6 +432,32 @@ _BOILER_A = 'Subscribe to our newsletter'
 _BOILER_B = 'Cookie policy: accept to continue'
 
 
+def remove_boilerplate_pages(sf_dir: str):
+    """CCNet-style boilerplate REMOVAL over the injected page corpus: every
+    corpus-repeated paragraph (the two injected footers plus natural
+    repeats) is dropped and each page's text rewritten from its kept
+    paragraphs — (url, clean_text, n_removed) per page, hash-exact vs the
+    SQL anti-join + ordered string_agg twin."""
+    import numpy as np
+
+    from .pages import pages_parquet_dir
+    from ..ops.text import remove_boilerplate
+    sf = sf_dir.rstrip('/').rsplit('sf', 1)[-1]
+    rows = {'0.001': 1000, '0.01': 5000, '0.1': 20000}.get(sf, 2000)
+    pages = read_parquet_clean(pages_parquet_dir(rows), columns=['url', 'text'])
+
+    def inject(t: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(t['url']).to_numpy(zero_copy_only=False)
+        suffix = np.where(lens % 2 == 0, '\n' + _BOILER_A, '\n' + _BOILER_B)
+        text2 = pc.binary_join_element_wise(
+            pc.fill_null(t['text'], ''), pa.array(suffix, pa.string()), '')
+        return pa.table({'url': t['url'], 'text': text2})
+
+    out = remove_boilerplate(pages.map_batches(inject, batch_format='pyarrow'),
+                             min_count=2, small=rows <= 100_000)
+    return out.select_columns(['url', 'clean_text', 'n_removed'])
+
+
 def url_domain_stats_pages(sf_dir: str):
     """Crawl-frontier URL canonicalization + eTLD+1 rollup: the corpus URLs
     are deterministically messed by url-length parity (uppercase authority
@@ -967,6 +993,7 @@ QUERIES = {
     'connected_components_documents': connected_components_documents,
     'inverted_index_documents': inverted_index_documents,
     'kmv_distinct_texts_documents': kmv_distinct_texts_documents,
+    'remove_boilerplate_pages': remove_boilerplate_pages,
     'pii_redact_documents': pii_redact_documents,
     'boilerplate_paragraphs_pages': boilerplate_paragraphs_pages,
     'url_domain_stats_pages': url_domain_stats_pages,
@@ -1749,6 +1776,28 @@ def get_oracle_sql() -> dict[str, str]:
     '''
     out['url_domain_stats_pages'] = _url_domain_stats_oracle_sql(pages_dir)
     out['kmv_distinct_texts_documents'] = _kmv_oracle_sql(k=64)
+    out['remove_boilerplate_pages'] = f'''
+        WITH m AS (
+            SELECT url, text || CASE WHEN length(url) % 2 = 0
+                                     THEN chr(10) || '{_BOILER_A}'
+                                     ELSE chr(10) || '{_BOILER_B}' END AS t
+            FROM read_parquet('{pages_dir}/*.parquet')),
+        p AS (
+            SELECT url, UNNEST(string_split(t, chr(10))) AS para,
+                   UNNEST(range(1, len(string_split(t, chr(10))) + 1)) AS i
+            FROM m),
+        c AS (SELECT para FROM p GROUP BY para HAVING COUNT(*) >= 2),
+        kept AS (SELECT p.* FROM p ANTI JOIN c USING (para)),
+        agg AS (SELECT url, string_agg(para, chr(10) ORDER BY i)
+                           AS clean_text,
+                       CAST(COUNT(*) AS BIGINT) AS n_kept
+                FROM kept GROUP BY url),
+        tot AS (SELECT url, CAST(COUNT(*) AS BIGINT) AS n_paras
+                FROM p GROUP BY url)
+        SELECT m.url, COALESCE(a.clean_text, '') AS clean_text,
+               tot.n_paras - COALESCE(a.n_kept, 0) AS n_removed
+        FROM m LEFT JOIN agg a USING (url) LEFT JOIN tot USING (url)
+    '''
     out['connected_components_documents'] = _components_sql(
         '''pairs AS (
             SELECT doc_id AS id_a, doc_id + 3 AS id_b FROM documents

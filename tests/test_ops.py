@@ -1045,3 +1045,29 @@ def test_kmv_distinct_sketch(ray_session):
         'text': pa.array(['x y', 'y z', 'z x'], pa.string())}))
     row = kmv_distinct(toks, k=64, token_rx='[^0-9A-Za-z_]+').take_all()[0]
     assert row['est_distinct'] == 3
+
+
+def test_remove_boilerplate(ray_session):
+    import ray.data as rd
+
+    from morph_kgc_ray.ops.text import remove_boilerplate
+
+    ds = rd.from_arrow(pa.table({
+        'doc_id': pa.array([1, 2, 3, 4], pa.int64()),
+        'text': pa.array(['keep me\nFOOTER\nand me', 'FOOTER\nFOOTER',
+                          'unique only', ''], pa.string())}))
+    out = remove_boilerplate(ds, min_count=2, small=True).to_pandas() \
+        .set_index('doc_id')
+    # FOOTER repeats 3x corpus-wide -> dropped everywhere; doc 2 empties;
+    # '' appears twice (docs 2-after-removal isn't counted — counting runs
+    # on the ORIGINAL texts; doc 4's single '' paragraph is unique... no:
+    # doc 4 text '' splits to [''] and no other doc has an empty paragraph,
+    # so it stays)
+    assert out.loc[1, 'clean_text'] == 'keep me\nand me'
+    assert out.loc[1, 'n_removed'] == 1
+    assert out.loc[2, 'clean_text'] == '' and out.loc[2, 'n_removed'] == 2
+    assert out.loc[3, 'clean_text'] == 'unique only'
+    assert out.loc[4, 'clean_text'] == '' and out.loc[4, 'n_removed'] == 0
+
+    with pytest.raises(ValueError, match='max_boiler'):
+        remove_boilerplate(ds, min_count=1, max_boiler=2, small=True)
