@@ -776,3 +776,118 @@ def remove_boilerplate(ds: ray.data.Dataset, text_col: str = 'text',
             'n_removed', pa.array((lens - kept_per_doc).astype(np.int64)))
 
     return ds.map_batches(clean, batch_format='pyarrow')
+
+
+def tfidf_top_terms(ds: ray.data.Dataset, id_col: str = 'doc_id',
+                    text_col: str = 'text', k_top: int = 3,
+                    token_rx: str = '[^0-9A-Za-z_]+',
+                    num_docs: 'int | None' = None,
+                    vocab_cap: int = 5_000_000,
+                    small: bool = False) -> ray.data.Dataset:
+    """Per-document top-``k_top`` TF-IDF terms with INTEGER-QUANTIZED idf:
+    ``score = tf * (floor_log2(N // df) + 1)`` — exact int64 arithmetic on
+    both sides (the SQL twin computes floor-log2 as ``length(bin(x)) - 1``),
+    so ordering and values are hash-checkable with zero float drift.
+
+    Plan: pass 1 aggregates document frequencies exactly like the unigram
+    LM fit (per-doc distinct -> vocab-keyed partial sum; ``vocab_cap``
+    bounds the broadcast); pass 2 broadcasts the (token, df) table via
+    ``ray.put`` and each batch computes tf, gathers df with one
+    ``pc.index_in``, scores, and takes the per-doc top-k from the
+    (doc, score DESC, token ASC)-sorted block — one exchange total.
+    Ties: (score DESC, token ASC), deterministic."""
+    import ray as _ray
+
+    from .agg import grouped_agg
+
+    if num_docs is None:
+        num_docs = ds.count()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        flat, counts = regex_tokens(t[text_col], token_rx)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if len(flat) == 0:
+            return pa.table({'token': pa.array([], pa.string()),
+                             '__df': pa.array([], pa.int64())})
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(np.arange(len(counts)), counts)
+        order = np.lexsort((codes, doc))
+        c_s, d_s = codes[order], doc[order]
+        first = np.empty(len(c_s), bool)
+        first[0] = True
+        first[1:] = (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])
+        uniq, cnt = np.unique(c_s[first], return_counts=True)
+        return pa.table({
+            'token': pc.cast(enc.dictionary.take(pa.array(uniq)), pa.string()),
+            '__df': pa.array(cnt.astype(np.int64))})
+
+    df_ds = grouped_agg(ds.map_batches(df_partial, batch_format='pyarrow'),
+                        ['token'], [('__df', 'sum', 'df')], small=small)
+    parts, total = [], 0
+    for t in df_ds.iter_batches(batch_format='pyarrow'):
+        parts.append(t.select(['token', 'df']).combine_chunks())
+        total += t.num_rows
+        if total > vocab_cap:
+            raise ValueError(f'vocabulary exceeds vocab_cap={vocab_cap}')
+    df_tab = pa.concat_tables(parts) if parts else pa.table(
+        {'token': pa.array([], pa.string()), 'df': pa.array([], pa.int64())})
+    ref = _ray.put(df_tab)
+
+    def score(t: pa.Table) -> pa.Table:
+        dft = _ray.get(ref)
+        empty = pa.table({id_col: pa.array([], t.schema.field(id_col).type),
+                          'token': pa.array([], pa.string()),
+                          'tf': pa.array([], pa.int64()),
+                          'score': pa.array([], pa.int64())})
+        flat, counts = regex_tokens(t[text_col], token_rx)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if len(flat) == 0:
+            return empty
+        ids = t[id_col].combine_chunks()
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(np.arange(len(counts)), counts)
+        order = np.lexsort((codes, doc))
+        c_s, d_s = codes[order], doc[order]
+        first = np.empty(len(c_s), bool)
+        first[0] = True
+        first[1:] = (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])
+        starts = np.nonzero(first)[0]
+        tf = np.diff(np.append(starts, len(c_s))).astype(np.int64)
+        code_u, doc_u = c_s[starts], d_s[starts]
+        toks = enc.dictionary.take(pa.array(code_u))
+        # idf gather: every corpus token is in the df table by construction
+        pos = pc.index_in(toks, value_set=dft['token']).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        dfv = dft['df'].to_numpy(zero_copy_only=False)[pos]
+        # exact floor(log2(x)) for int x < 2^53: frexp exponent - 1
+        idf = (np.frexp((num_docs // dfv).astype(np.float64))[1] - 1
+               ).astype(np.int64) + 1
+        sc = tf * idf
+        # per-doc top-k by (score DESC, token ASC): arrow sort then a
+        # segment-rank scan
+        block = pa.table({'__doc': pa.array(doc_u),
+                          'token': pc.cast(toks, pa.string()),
+                          'tf': pa.array(tf), 'score': pa.array(sc)})
+        block = block.sort_by([('__doc', 'ascending'), ('score', 'descending'),
+                               ('token', 'ascending')])
+        dd = block['__doc'].to_numpy(zero_copy_only=False)
+        n = len(dd)
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = dd[1:] != dd[:-1]
+        seg_first = np.maximum.accumulate(np.where(new, np.arange(n), 0))
+        rank = np.arange(n) - seg_first
+        kept = block.filter(pa.array(rank < k_top))
+        out_ids = ids.take(kept['__doc'])
+        return pa.table({id_col: out_ids, 'token': kept['token'],
+                         'tf': kept['tf'], 'score': kept['score']})
+
+    return ds.map_batches(score, batch_format='pyarrow')

@@ -631,6 +631,16 @@ def pagerank_documents(sf_dir: str):
     return pagerank(edges, n).map_batches(rename, batch_format='pyarrow')
 
 
+def tfidf_top_terms_documents(sf_dir: str):
+    """Per-document top-3 TF-IDF terms with integer-quantized idf
+    (``tf * (floor_log2(N // df) + 1)``) — exact int64 scoring, ties by
+    (score DESC, token ASC), hash-checked against the SQL window-function
+    twin."""
+    from ..ops.text import tfidf_top_terms
+    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
+    return tfidf_top_terms(ds, k_top=3, small=_small(sf_dir, 'documents'))
+
+
 def kmv_distinct_texts_documents(sf_dir: str):
     """KMV (bottom-64) distinct-count sketch over the documents' text
     values — deterministic given the sha256 hash, so the sketch itself
@@ -994,6 +1004,7 @@ QUERIES = {
     'inverted_index_documents': inverted_index_documents,
     'kmv_distinct_texts_documents': kmv_distinct_texts_documents,
     'remove_boilerplate_pages': remove_boilerplate_pages,
+    'tfidf_top_terms_documents': tfidf_top_terms_documents,
     'pii_redact_documents': pii_redact_documents,
     'boilerplate_paragraphs_pages': boilerplate_paragraphs_pages,
     'url_domain_stats_pages': url_domain_stats_pages,
@@ -1297,6 +1308,28 @@ ORACLE_SQL = {
                       + (85 * COALESCE(i3.s, 0)) // 100 AS r
                FROM r2 LEFT JOIN i3 USING (node), n)
         SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_fp FROM r3
+    ''',
+    # quantized TF-IDF: score = tf * (floor_log2(N // df) + 1); floor-log2
+    # via length(bin(x)) - 1, integer-exact both sides; top-3 per doc with
+    # (score DESC, token ASC) ties
+    'tfidf_top_terms_documents': '''
+        WITH tok AS (
+            SELECT doc_id, UNNEST(regexp_extract_all(text, '[0-9A-Za-z_]+'))
+                       AS token
+            FROM documents),
+        tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM tok GROUP BY doc_id, token),
+        df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+               FROM tok GROUP BY token),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents),
+        s AS (SELECT tf.doc_id, tf.token, tf.tf,
+                     tf.tf * CAST(length(bin(n.c // df.df)) AS BIGINT)
+                         AS score
+              FROM tf JOIN df USING (token), n),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token ASC) AS rn
+              FROM s)
+        SELECT doc_id, token, tf, score FROM r WHERE rn <= 3
     ''',
     # inverted index: per-doc distinct tokens ([0-9A-Za-z_]+ runs, RE2 both
     # sides), df >= 25, postings = ascending comma-joined doc ids

@@ -1071,3 +1071,26 @@ def test_remove_boilerplate(ray_session):
 
     with pytest.raises(ValueError, match='max_boiler'):
         remove_boilerplate(ds, min_count=1, max_boiler=2, small=True)
+
+
+def test_tfidf_top_terms(ray_session):
+    import ray.data as rd
+
+    from morph_kgc_ray.ops.text import tfidf_top_terms
+
+    # 4 docs: 'common' in all (df=4, N//df=1, idf=1);
+    # 'rare' only in doc 1 (df=1, N//df=4, idf=3)
+    ds = rd.from_arrow(pa.table({
+        'doc_id': pa.array([1, 2, 3, 4], pa.int64()),
+        'text': pa.array(['common rare rare', 'common common common',
+                          'common', 'common'], pa.string())}))
+    out = tfidf_top_terms(ds, k_top=1, small=True).to_pandas() \
+        .set_index('doc_id')
+    # doc 1: rare tf=2 idf=3 -> 6 beats common tf=1 idf=1 -> 1
+    assert (out.loc[1, 'token'], out.loc[1, 'score']) == ('rare', 6)
+    # doc 2: common tf=3 -> 3
+    assert (out.loc[2, 'token'], out.loc[2, 'score']) == ('common', 3)
+    # distributed df combine agrees with the single-task one
+    out2 = tfidf_top_terms(ds.repartition(3), k_top=1,
+                           small=False).to_pandas().set_index('doc_id')
+    assert out2.loc[1, 'score'] == 6 and out2.loc[2, 'score'] == 3
