@@ -1094,3 +1094,32 @@ def test_tfidf_top_terms(ray_session):
     out2 = tfidf_top_terms(ds.repartition(3), k_top=1,
                            small=False).to_pandas().set_index('doc_id')
     assert out2.loc[1, 'score'] == 6 and out2.loc[2, 'score'] == 3
+
+
+def test_gazetteer_unicode_alias_fallback(ray_session):
+    """Non-ASCII aliases cannot ride the \\W+ token join (RE2 \\w is
+    ASCII-only: 'Müller' tokenizes as 'M','ller'), so they must route
+    through the per-entity regex fallback — the round-4 advisor's finding.
+    ASCII aliases keep the token-join fast path in the same kernel."""
+    from morph_kgc_ray.pipelines.web import SCHEMA_MENTIONS, TripleEmitKernel
+
+    gaz = {'Müller': 'http://ex.org/entity/muller',
+           'Acme001': 'http://ex.org/entity/acme'}
+    kernel = TripleEmitKernel(gaz)
+    assert len(kernel.iri_patterns) == 1      # the unicode alias, fallback
+    assert len(kernel.alias_values) == 1      # the ascii alias, token join
+    t = pa.table({
+        'url': pa.array(['https://a.example/1', 'https://a.example/2',
+                         'https://a.example/3'], pa.string()),
+        'warc_ts': pa.array([0, 0, 0], pa.timestamp('us')),
+        'text': pa.array(['Herr Müller visited Acme001 today.',
+                          'nothing to see', 'Müller again'], pa.string()),
+        'lang': pa.array(['de', 'en', 'de'], pa.string()),
+    })
+    out = kernel(t).to_pandas()
+    mentions = out[out['predicate'] == f'<{SCHEMA_MENTIONS}>']
+    got = sorted((s_.rsplit('%2F', 1)[-1].rstrip('>'), o_)
+                 for s_, o_ in zip(mentions['subject'], mentions['object']))
+    assert got == [('1', '<http://ex.org/entity/acme>'),
+                   ('1', '<http://ex.org/entity/muller>'),
+                   ('3', '<http://ex.org/entity/muller>')]
