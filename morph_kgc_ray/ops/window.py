@@ -313,10 +313,11 @@ def range_join(left: ray.data.Dataset, right: ray.data.Dataset,
     nparts = num_partitions or max(8, _ray_cpus())
     lt = left.map_batches(tag_left, batch_format='pyarrow')
     rt = right.map_batches(explode_right, batch_format='pyarrow')
-    # Ray's hash join cannot resolve key fields when EVERY right block is
-    # empty (0-row bundles carry no schema); a limit(1) probe short-circuits
-    # the streaming executor, so the degenerate case costs one block read.
-    if not rt.limit(1).take_all():
+    # Ray's hash join cannot resolve key fields when EVERY block of one
+    # side is empty (0-row bundles carry no schema); limit(1) probes
+    # short-circuit the streaming executor, so the degenerate cases cost
+    # one block read each.
+    if not rt.limit(1).take_all() or not left.limit(1).take_all():
         l_schema = left.schema()
         r_schema = right.schema()
         fields = list(zip(l_schema.names, l_schema.types))

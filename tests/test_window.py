@@ -288,3 +288,26 @@ def test_range_join_empty_interval_dropped(ray_session):
         'hi_us': pa.array([0], pa.int64())}))  # zero-width: matches nothing
     for bc in (True, False):
         assert range_join(left, right, band_us=US, broadcast=bc).count() == 0
+
+
+def test_range_join_empty_left_side(ray_session):
+    """An all-empty LEFT side must not crash the banded hash join (Ray's
+    shuffle drops schemas of 0-row bundles) — the probe guard returns a
+    correctly-typed empty result on either empty side."""
+    from morph_kgc_ray.ops.window import range_join
+
+    left = ray.data.from_arrow(pa.table({
+        'user_id': pa.array([], pa.int64()),
+        'ts': pa.array([], pa.timestamp('us')),
+        'event_id': pa.array([], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        'user_id': pa.array([1], pa.int64()),
+        'wid': pa.array([7], pa.int64()),
+        'lo_us': pa.array([0], pa.int64()),
+        'hi_us': pa.array([US], pa.int64())}))
+    for bc in (True, False):
+        out = range_join(left, right, band_us=US, broadcast=bc)
+        assert out.count() == 0
+    # the banded guard synthesizes a typed empty result
+    banded = range_join(left, right, band_us=US, broadcast=False)
+    assert set(banded.schema().names) >= {'user_id', 'ts', 'event_id', 'wid'}
