@@ -24,8 +24,11 @@ def test_pagerank_plans_agree(ray_session):
     n = 200
     edges = ray.data.from_arrow(_edges_table(n)).repartition(4)
     local = pagerank(edges, n).to_pandas().sort_values('node')
-    dist = pagerank(edges, n, edge_cap=0).to_pandas().sort_values('node')
-    assert len(local) == n and len(dist) == n
+    bcast = pagerank(edges, n, edge_cap=0).to_pandas().sort_values('node')
+    dist = pagerank(edges, n, edge_cap=0,
+                    node_cap=0).to_pandas().sort_values('node')
+    assert len(local) == n and len(bcast) == n and len(dist) == n
+    assert (local['rank_fp'].to_numpy() == bcast['rank_fp'].to_numpy()).all()
     assert (local['rank_fp'].to_numpy() == dist['rank_fp'].to_numpy()).all()
     # total mass is bounded by the scale and every rank is >= the base term
     base = (15 * (10 ** 12 // n)) // 100
