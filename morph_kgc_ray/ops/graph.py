@@ -100,27 +100,30 @@ def _pagerank_local(edges, n, src_col, dst_col, k, scale):
         'rank_fp': pa.array(ranks)}))
 
 
-def _fold_dense_vectors(ds: ray.data.Dataset, n: int,
-                        fan_in: int = 8) -> np.ndarray:
-    """Sum a Dataset of one-row dense int64 vectors (``vec`` large_binary,
-    8n bytes each) into one numpy vector: one data-plane fold level
-    (``fan_in`` vectors summed per task) then a driver fold of the few
-    survivors — the driver never touches more than a handful of vectors."""
+def _fold_dense_vectors(ds: ray.data.Dataset, n: int, fan_in: int = 8,
+                        op=None, init: int = 0) -> np.ndarray:
+    """Reduce a Dataset of one-row dense int64 vectors (``vec``
+    large_binary, 8n bytes each) into one numpy vector with an
+    associative elementwise ``op`` (default add; ``np.minimum`` for
+    min-label folds): one data-plane fold level (``fan_in`` vectors per
+    task) then a driver fold of the few survivors — the driver never
+    touches more than a handful of vectors."""
+    op = op or np.add
 
     def fold(t: pa.Table) -> pa.Table:
-        acc = np.zeros(n, dtype=np.int64)
+        acc = np.full(n, init, dtype=np.int64)
         for buf in t['vec'].to_pylist():
-            acc += np.frombuffer(buf, dtype=np.int64)
+            acc = op(acc, np.frombuffer(buf, dtype=np.int64))
         return pa.table({'vec': pa.array([acc.tobytes()], pa.large_binary())})
 
     n_rows = ds.count()
     if n_rows > fan_in:
         ds = ds.repartition(max(1, n_rows // fan_in)) \
                .map_batches(fold, batch_format='pyarrow', batch_size=None)
-    acc = np.zeros(n, dtype=np.int64)
+    acc = np.full(n, init, dtype=np.int64)
     for t in ds.iter_batches(batch_format='pyarrow'):
         for buf in t['vec'].to_pylist():
-            acc += np.frombuffer(buf, dtype=np.int64)
+            acc = op(acc, np.frombuffer(buf, dtype=np.int64))
     return acc
 
 
@@ -218,14 +221,26 @@ def _pagerank_distributed(edges, n, src_col, dst_col, k, scale,
 
 def connected_components(edges: ray.data.Dataset, src_col: str = 'src',
                          dst_col: str = 'dst', id_col: str = 'node',
+                         num_nodes: 'int | None' = None,
+                         node_cap: int = 4_000_000, max_rounds: int = 50,
                          **kwargs) -> ray.data.Dataset:
     """Connected-component labels (label = min id reachable in the
-    component) over an arbitrary integer edge Dataset — a thin lift of
+    component) over an arbitrary integer edge Dataset.  Only nodes
+    incident to an edge are labeled; isolated nodes are their own trivial
+    components by definition and are omitted, matching the SQL closure.
+
+    Plans: with ``num_nodes`` given (ids dense in ``[0, num_nodes)``) and
+    ≤ ``node_cap``, min-label propagation runs on the PageRank broadcast
+    pattern — labels vector ``ray.put`` per round, per-block dense
+    ``np.minimum`` scatter, data-plane min tree-fold, converging in
+    diameter rounds with no joins (bit-identical to the general plan,
+    parity-tested).  Otherwise it is a thin lift of
     :func:`morph_kgc_ray.ops.dedup.min_label_clusters` (convergent
-    min-label propagation in the data plane, driver union-find fast path
-    below its edge cap) onto ``(src, dst)`` naming.  Only nodes incident
-    to an edge are labeled; isolated nodes are their own trivial
-    components by definition and are omitted, matching the SQL closure."""
+    min-label propagation via keyed joins, driver union-find fast path
+    below its edge cap) onto ``(src, dst)`` naming."""
+    if num_nodes is not None and num_nodes <= node_cap:
+        return _cc_broadcast(edges, num_nodes, src_col, dst_col, id_col,
+                             max_rounds)
     from .dedup import min_label_clusters
 
     def rename(t: pa.Table) -> pa.Table:
@@ -234,3 +249,48 @@ def connected_components(edges: ray.data.Dataset, src_col: str = 'src',
 
     return min_label_clusters(edges.map_batches(rename, batch_format='pyarrow'),
                               id_col=id_col, **kwargs)
+
+
+_SENT = np.iinfo(np.int64).max
+
+
+def _cc_broadcast(edges, n, src_col, dst_col, id_col, max_rounds):
+    import ray as _ray
+
+    def incident_vec(t: pa.Table) -> pa.Table:
+        s = pc.cast(t[src_col], pa.int64()).to_numpy(zero_copy_only=False)
+        d = pc.cast(t[dst_col], pa.int64()).to_numpy(zero_copy_only=False)
+        acc = np.zeros(n, dtype=np.int64)
+        acc[s] = 1
+        acc[d] = 1
+        return pa.table({'vec': pa.array([acc.tobytes()], pa.large_binary())})
+
+    incident = _fold_dense_vectors(
+        edges.map_batches(incident_vec, batch_format='pyarrow'), n,
+        op=np.maximum, init=0).astype(bool)
+
+    labels = np.where(incident, np.arange(n, dtype=np.int64), _SENT)
+    for _ in range(max_rounds):
+        ref = _ray.put(labels)
+
+        def min_nbr_vec(t: pa.Table, _r=ref) -> pa.Table:
+            lab = _ray.get(_r)
+            s = pc.cast(t[src_col], pa.int64()).to_numpy(zero_copy_only=False)
+            d = pc.cast(t[dst_col], pa.int64()).to_numpy(zero_copy_only=False)
+            acc = np.full(n, _SENT, dtype=np.int64)
+            np.minimum.at(acc, s, lab[d])
+            np.minimum.at(acc, d, lab[s])
+            return pa.table({'vec': pa.array([acc.tobytes()],
+                                             pa.large_binary())})
+
+        folded = _fold_dense_vectors(
+            edges.map_batches(min_nbr_vec, batch_format='pyarrow'), n,
+            op=np.minimum, init=_SENT)
+        new = np.minimum(labels, folded)
+        if (new == labels).all():
+            break
+        labels = new
+    idx = np.nonzero(incident)[0]
+    return ray.data.from_arrow(pa.table({
+        id_col: pa.array(idx.astype(np.int64)),
+        'cluster_id': pa.array(labels[idx])}))

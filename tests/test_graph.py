@@ -58,3 +58,24 @@ def test_connected_components_wrapper(ray_session):
     want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 30: 30}
     for out in (fast, dist):
         assert dict(zip(out['node'], out['cluster_id'])) == want
+
+
+def test_connected_components_broadcast_plan_parity(ray_session):
+    """Dense-id broadcast CC (min-fold rounds) must match the union-find /
+    join plans exactly, including long chains (convergence, not a fixed
+    round count) and isolated nodes omitted."""
+    from morph_kgc_ray.ops.graph import connected_components
+
+    # chain 0-1-2-...-19 plus a separate pair and isolated nodes 30..39
+    n = 40
+    src = list(range(19)) + [25]
+    dst = list(range(1, 20)) + [26]
+    edges = ray.data.from_arrow(pa.table({
+        'src': pa.array(src, pa.int64()),
+        'dst': pa.array(dst, pa.int64())})).repartition(3)
+    general = connected_components(edges).to_pandas()
+    dense = connected_components(edges, num_nodes=n).to_pandas()
+    as_map = lambda df: dict(zip(df['node'], df['cluster_id']))
+    assert as_map(dense) == as_map(general)
+    assert as_map(dense)[19] == 0 and as_map(dense)[26] == 25
+    assert 30 not in as_map(dense)
