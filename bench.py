@@ -44,7 +44,7 @@ BENCH_QUERIES = [
     'range_join_events', 'pagerank_documents', 'normalize_text_documents',
     'connected_components_documents', 'inverted_index_documents',
     'kmv_distinct_texts_documents', 'remove_boilerplate_pages',
-    'tfidf_top_terms_documents',
+    'tfidf_top_terms_documents', 'token_freq_spectrum_documents',
 ]
 
 

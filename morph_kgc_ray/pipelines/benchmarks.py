@@ -641,6 +641,37 @@ def tfidf_top_terms_documents(sf_dir: str):
     return tfidf_top_terms(ds, k_top=3, small=_small(sf_dir, 'documents'))
 
 
+def token_freq_spectrum_documents(sf_dir: str):
+    """Zipf frequency spectrum (count-of-counts): how many distinct tokens
+    occur exactly f times corpus-wide — nested aggregation, both levels on
+    block-local partials."""
+    from ..ops.agg import grouped_agg
+    from ..ops.text import regex_tokens
+    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['text'])
+    small = _small(sf_dir, 'documents')
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        flat, _ = regex_tokens(t['text'])
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        vc = flat.value_counts() if len(flat) else None
+        if vc is None or len(vc) == 0:
+            return pa.table({'token': pa.array([], pa.string()),
+                             '__n': pa.array([], pa.int64())})
+        return pa.table({'token': pc.cast(vc.field('values'), pa.string()),
+                         '__n': pc.cast(vc.field('counts'), pa.int64())})
+
+    counts = grouped_agg(ds.map_batches(tok_partial, batch_format='pyarrow'),
+                         ['token'], [('__n', 'sum', 'freq')], small=small)
+
+    def spec_partial(t: pa.Table) -> pa.Table:
+        return pa.table({'freq': t['freq'],
+                         '__one': pa.array(np.ones(t.num_rows, np.int64))})
+
+    return grouped_agg(counts.map_batches(spec_partial, batch_format='pyarrow'),
+                       ['freq'], [('__one', 'sum', 'n_tokens')], small=small)
+
+
 def kmv_distinct_texts_documents(sf_dir: str):
     """KMV (bottom-64) distinct-count sketch over the documents' text
     values — deterministic given the sha256 hash, so the sketch itself
@@ -1005,6 +1036,7 @@ QUERIES = {
     'kmv_distinct_texts_documents': kmv_distinct_texts_documents,
     'remove_boilerplate_pages': remove_boilerplate_pages,
     'tfidf_top_terms_documents': tfidf_top_terms_documents,
+    'token_freq_spectrum_documents': token_freq_spectrum_documents,
     'pii_redact_documents': pii_redact_documents,
     'boilerplate_paragraphs_pages': boilerplate_paragraphs_pages,
     'url_domain_stats_pages': url_domain_stats_pages,
@@ -1308,6 +1340,16 @@ ORACLE_SQL = {
                       + (85 * COALESCE(i3.s, 0)) // 100 AS r
                FROM r2 LEFT JOIN i3 USING (node), n)
         SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_fp FROM r3
+    ''',
+    # Zipf frequency spectrum: distinct-token count per corpus frequency
+    'token_freq_spectrum_documents': '''
+        WITH tok AS (
+            SELECT UNNEST(regexp_extract_all(text, '[0-9A-Za-z_]+')) AS token
+            FROM documents),
+        f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+              FROM tok GROUP BY token)
+        SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM f GROUP BY freq
     ''',
     # quantized TF-IDF: score = tf * (floor_log2(N // df) + 1); floor-log2
     # via length(bin(x)) - 1, integer-exact both sides; top-3 per doc with
