@@ -79,3 +79,15 @@ def test_connected_components_broadcast_plan_parity(ray_session):
     assert as_map(dense) == as_map(general)
     assert as_map(dense)[19] == 0 and as_map(dense)[26] == 25
     assert 30 not in as_map(dense)
+
+
+def test_pagerank_broadcast_many_blocks(ray_session):
+    """>fan_in edge blocks force the data-plane tree-fold level of
+    _fold_dense_vectors; result must still match the driver fast path."""
+    from morph_kgc_ray.ops.graph import pagerank
+
+    n = 500
+    edges = ray.data.from_arrow(_edges_table(n, seed=3)).repartition(20)
+    local = pagerank(edges, n).to_pandas().sort_values('node')
+    bcast = pagerank(edges, n, edge_cap=0).to_pandas().sort_values('node')
+    assert (local['rank_fp'].to_numpy() == bcast['rank_fp'].to_numpy()).all()
