@@ -1104,3 +1104,123 @@ def dup_spans(ds: 'ray.data.Dataset', id_col: str = 'doc_id',
     flagged = colocated.map_batches(keep_shared, batch_format='pyarrow')
     return grouped_agg(flagged, [id_col],
                        [('__n', 'sum', 'n_dup_spans')], small=small)
+
+
+def remove_dup_spans(ds: 'ray.data.Dataset', id_col: str = 'doc_id',
+                     text_col: str = 'text', k: int = 8,
+                     token_rx: str = '[^0-9A-Za-z_]+',
+                     num_partitions: int = 16,
+                     max_shared: int = 5_000_000) -> 'ray.data.Dataset':
+    """The REWRITE half of exact substring deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    token covered by a word ``k``-gram occurring in >= 2 documents is
+    dropped, and each document's kept tokens re-join with single spaces
+    (token-level semantics — separators normalize, mirrored in SQL).
+    Returns (id_col, clean_text, n_removed).
+
+    Scale shape: pass A is the :func:`dup_spans` gram exchange, but the
+    gram-partitioned blocks emit the globally-shared GRAM HASHES
+    themselves (each gram lives in exactly one partition, so block-local
+    distinct is global); the set streams to the driver under
+    ``max_shared`` (the decontamination broadcast pattern — raise the
+    threshold k or the cap when a corpus exceeds it) and broadcasts via
+    one ``ray.put``.  Pass B is one zero-shuffle map per batch: recompute
+    rolling window hashes, ``np.isin`` against the broadcast set, mark
+    coverage with a difference array (+1 at span start, -1 past its end;
+    spans never cross documents, so one global cumsum is exact), rebuild
+    texts with an offset gather — no per-row Python anywhere."""
+    import ray as _ray
+
+    from ..engine.dedup import ensure_hash_shuffle
+    from .text import regex_tokens
+    ensure_hash_shuffle()
+
+    def pairs_fn(t: pa.Table) -> pa.Table:
+        flat, counts = regex_tokens(t[text_col], token_rx)
+        if not len(flat):
+            e = pa.array([], pa.int64())
+            return pa.table({'gram': e, '__doc': e})
+        wh, wcounts = _window_hashes(_hash_tokens(flat), counts, k)
+        doc = np.repeat(np.arange(len(counts)), wcounts)
+        real = (counts >= k)[doc]
+        wh, doc = wh[real], doc[real]
+        if not len(wh):
+            e = pa.array([], pa.int64())
+            return pa.table({'gram': e, '__doc': e})
+        order = np.lexsort((wh, doc))
+        wh, doc = wh[order], doc[order]
+        first = np.empty(len(wh), dtype=bool)
+        first[0] = True
+        first[1:] = (wh[1:] != wh[:-1]) | (doc[1:] != doc[:-1])
+        # block-scoped doc tags are fine: only gram identity leaves pass A
+        return pa.table({'gram': pa.array(wh[first].view(np.int64)),
+                         '__doc': pa.array(doc[first])})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = t['gram'].to_numpy(zero_copy_only=False) % num_partitions
+        return t.append_column('__bucket', pa.array(np.abs(h)))
+
+    colocated = (ds.map_batches(pairs_fn, batch_format='pyarrow')
+                 .map_batches(add_bucket, batch_format='pyarrow')
+                 .repartition(num_partitions, keys=['__bucket'], sort=False))
+
+    def shared_grams(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or 'gram' not in t.column_names:
+            return pa.table({'gram': pa.array([], pa.int64())})
+        g = t['gram'].to_numpy(zero_copy_only=False)
+        # unique grams with >= 2 (gram, doc) pairs — pairs are per-doc
+        # unique, so a repeat means a second document
+        uniq, cnt = np.unique(g, return_counts=True)
+        return pa.table({'gram': pa.array(uniq[cnt >= 2])})
+
+    parts, total = [], 0
+    for t in colocated.map_batches(shared_grams,
+                                   batch_format='pyarrow',
+                                   batch_size=None) \
+                      .iter_batches(batch_format='pyarrow'):
+        parts.append(t['gram'].to_numpy(zero_copy_only=False))
+        total += t.num_rows
+        if total > max_shared:
+            raise ValueError(
+                f'shared-gram set exceeds max_shared={max_shared}; raise k '
+                f'or max_shared (the set must fit one broadcast)')
+    shared = np.sort(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
+    ref = _ray.put(shared)
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        sh = _ray.get(ref)
+        flat, counts = regex_tokens(t[text_col], token_rx)
+        ndoc = t.num_rows
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        ntok = int(counts.sum())
+        keep = np.ones(ntok, dtype=bool)
+        if ntok and len(sh):
+            wh, wcounts = _window_hashes(_hash_tokens(flat), counts, k)
+            wdoc = np.repeat(np.arange(ndoc), wcounts)
+            win_off = np.concatenate(([0], np.cumsum(wcounts)))[:-1]
+            within = (np.arange(int(wcounts.sum()))
+                      - np.repeat(win_off, wcounts))
+            tok_off = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            gstart = tok_off[wdoc] + within
+            hit = np.isin(wh.view(np.int64), sh) & (counts >= k)[wdoc]
+            diff = np.zeros(ntok + 1, np.int64)
+            np.add.at(diff, gstart[hit], 1)
+            np.add.at(diff, gstart[hit] + k, -1)
+            keep = ~(np.cumsum(diff[:-1]) > 0)
+        tdoc = np.repeat(np.arange(ndoc), counts)
+        kept_per_doc = np.bincount(tdoc[keep], minlength=ndoc)
+        offsets = pa.array(
+            np.concatenate(([0], np.cumsum(kept_per_doc))).astype(np.int32))
+        kept_flat = flat.filter(pa.array(keep))
+        if isinstance(kept_flat, pa.ChunkedArray):
+            kept_flat = kept_flat.combine_chunks()
+        lists = pa.ListArray.from_arrays(offsets,
+                                         pc.cast(kept_flat, pa.string()))
+        return pa.table({
+            id_col: t[id_col],
+            'clean_text': pc.cast(pc.binary_join(lists, ' '), pa.string()),
+            'n_removed': pa.array(
+                (counts - kept_per_doc).astype(np.int64))})
+
+    return ds.map_batches(rewrite, batch_format='pyarrow')

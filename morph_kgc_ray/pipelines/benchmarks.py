@@ -512,6 +512,14 @@ def dup_spans_documents(sf_dir: str):
     return dedup_ops.dup_spans(ds, k=8, small=_small(sf_dir, 'documents'))
 
 
+def remove_dup_spans_documents(sf_dir: str):
+    """Exact substring-dedup REWRITE (Lee et al.): drop every token covered
+    by a corpus-shared word 8-gram, re-join survivors with single spaces —
+    (doc_id, clean_text, n_removed), hash-exact vs the SQL coverage twin."""
+    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
+    return dedup_ops.remove_dup_spans(ds, k=8)
+
+
 def wet_roundtrip_pages(sf_dir: str):
     """WARC/WET source gate: the pages corpus rendered as gzipped WET
     shards (cached), read back through the stdlib WARC parser, rolled up
@@ -1037,6 +1045,7 @@ QUERIES = {
     'remove_boilerplate_pages': remove_boilerplate_pages,
     'tfidf_top_terms_documents': tfidf_top_terms_documents,
     'token_freq_spectrum_documents': token_freq_spectrum_documents,
+    'remove_dup_spans_documents': remove_dup_spans_documents,
     'pii_redact_documents': pii_redact_documents,
     'boilerplate_paragraphs_pages': boilerplate_paragraphs_pages,
     'url_domain_stats_pages': url_domain_stats_pages,
@@ -1173,6 +1182,39 @@ ORACLE_SQL = {
         dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2)
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans
         FROM g JOIN dup USING (gram) GROUP BY doc_id
+    ''',
+    # substring-dedup rewrite: tokens covered by any corpus-shared 8-gram
+    # drop; parallel UNNESTs zip (i, gram) so spans carry their positions
+    'remove_dup_spans_documents': '''
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_extract_all(coalesce(text, ''), '[0-9A-Za-z_]+') AS ts
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 UNNEST(range(1, len(ts) - 6)) AS i,
+                 UNNEST(list_transform(range(1, len(ts) - 6),
+                                       i -> ''' + _GRAM8 + ''')) AS gram
+          FROM toks),
+        dup AS (
+          SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+          GROUP BY gram HAVING COUNT(*) >= 2),
+        cov AS (
+          SELECT DISTINCT g.doc_id, UNNEST(range(g.i, g.i + 8)) AS pos
+          FROM g JOIN dup USING (gram)),
+        p AS (
+          SELECT doc_id, UNNEST(ts) AS tok,
+                 UNNEST(range(1, len(ts) + 1)) AS pos
+          FROM toks),
+        kept AS (SELECT p.* FROM p ANTI JOIN cov USING (doc_id, pos)),
+        agg AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                 CAST(COUNT(*) AS BIGINT) AS n_kept
+          FROM kept GROUP BY doc_id)
+        SELECT toks.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+               CAST(len(toks.ts) AS BIGINT) - COALESCE(agg.n_kept, 0)
+                   AS n_removed
+        FROM toks LEFT JOIN agg USING (doc_id)
     ''',
     'decontaminate_documents': '''
         WITH toks AS (

@@ -1123,3 +1123,51 @@ def test_gazetteer_unicode_alias_fallback(ray_session):
     assert got == [('1', '<http://ex.org/entity/acme>'),
                    ('1', '<http://ex.org/entity/muller>'),
                    ('3', '<http://ex.org/entity/muller>')]
+
+
+def test_remove_dup_spans_randomized_vs_python(ray_session):
+    """remove_dup_spans (gram exchange + broadcast + difference-array
+    coverage) must equal a per-doc Python reference on randomized texts
+    with planted shared spans, overlaps, short docs, empties and nulls."""
+    import re
+    import ray.data as rd
+
+    from morph_kgc_ray.ops.dedup import remove_dup_spans
+
+    rng = np.random.RandomState(17)
+    vocab = [f'w{i}' for i in range(40)]
+    K = 4
+    shared_snips = [' '.join(rng.choice(vocab, size=rng.randint(K, K + 4)))
+                    for _ in range(4)]
+    texts = []
+    for i in range(50):
+        words = list(rng.choice(vocab, size=rng.randint(0, 20)))
+        if rng.rand() < 0.6:  # plant a snippet (appears in many docs)
+            snip = shared_snips[rng.randint(len(shared_snips))].split()
+            pos = rng.randint(len(words) + 1)
+            words = words[:pos] + snip + words[pos:]
+        texts.append(' '.join(words))
+    texts += ['', None, shared_snips[0], 'w0 w1']
+    ds = rd.from_items([{'doc_id': i, 'text': t}
+                        for i, t in enumerate(texts)]).repartition(4)
+    got = remove_dup_spans(ds, k=K).to_pandas().set_index('doc_id')
+
+    # python reference: gram -> set of docs; covered positions per doc
+    toks = [tuple(x for x in re.split(r'[^0-9A-Za-z_]+', t or '') if x)
+            for t in texts]
+    gram_docs = {}
+    for d, ts in enumerate(toks):
+        for i in range(len(ts) - K + 1):
+            gram_docs.setdefault(ts[i:i + K], set()).add(d)
+    shared = {g for g, ds_ in gram_docs.items() if len(ds_) >= 2}
+    removed_total = 0
+    for d, ts in enumerate(toks):
+        cov = set()
+        for i in range(len(ts) - K + 1):
+            if ts[i:i + K] in shared:
+                cov |= set(range(i, i + K))
+        kept = [t for j, t in enumerate(ts) if j not in cov]
+        assert got.loc[d, 'clean_text'] == ' '.join(kept), d
+        assert got.loc[d, 'n_removed'] == len(cov), d
+        removed_total += len(cov)
+    assert removed_total > 0  # plantings must exercise the removal path
