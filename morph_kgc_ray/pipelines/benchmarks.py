@@ -512,6 +512,46 @@ def dup_spans_documents(sf_dir: str):
     return dedup_ops.dup_spans(ds, k=8, small=_small(sf_dir, 'documents'))
 
 
+def curate_corpus_documents(sf_dir: str):
+    """END-TO-END training-corpus curation composed from the individual
+    operators — quality/language filter -> exact dedup (min-id
+    representative) -> benchmark decontamination -> 32/24 sequence
+    chunking — with ONE spliced SQL oracle over the whole chain.  In this
+    order the pipeline is a single streaming map chain around the one
+    dedup exchange: the filter is stateless, the decontamination set
+    broadcasts once, and chunking is flat-map-shaped — no joins
+    anywhere."""
+    import re
+
+    from ..ops.chunk import chunk_documents
+    from ..ops.decontam import ngram_decontaminate
+    ds = read_parquet_clean(_p(sf_dir, 'documents'),
+                            columns=['doc_id', 'text', 'lang'])
+    small = _small_table(sf_dir, 'documents')
+    filtered = text_ops.quality_filter(ds, min_score=0.8, min_tokens=5,
+                                       langs=('en', 'de', 'fr'))
+    reps = dedup_ops.exact_dedup(filtered.select_columns(['doc_id', 'text']),
+                                 ['text'], 'doc_id', small=small)
+
+    def pick(t: pa.Table) -> pa.Table:
+        did = t['doc_id'].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(did % 97 == 0))
+
+    bench = []
+    for r in ds.map_batches(pick, batch_format='pyarrow').take_all():
+        toks = [x for x in re.split(r'[^0-9A-Za-z_]+', r['text'] or '') if x]
+        bench.append(' '.join(toks[5:20]))
+
+    dec = ngram_decontaminate(reps, bench, k=8)
+
+    def keep_clean(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t['n_contaminated'],
+                                 pa.scalar(0, pa.int64())))
+
+    clean = dec.map_batches(keep_clean, batch_format='pyarrow')
+    return chunk_documents(clean, window=32, stride=24)
+
+
 def remove_dup_spans_documents(sf_dir: str):
     """Exact substring-dedup REWRITE (Lee et al.): drop every token covered
     by a corpus-shared word 8-gram, re-join survivors with single spaces —
@@ -1046,6 +1086,7 @@ QUERIES = {
     'tfidf_top_terms_documents': tfidf_top_terms_documents,
     'token_freq_spectrum_documents': token_freq_spectrum_documents,
     'remove_dup_spans_documents': remove_dup_spans_documents,
+    'curate_corpus_documents': curate_corpus_documents,
     'pii_redact_documents': pii_redact_documents,
     'boilerplate_paragraphs_pages': boilerplate_paragraphs_pages,
     'url_domain_stats_pages': url_domain_stats_pages,
@@ -1182,6 +1223,52 @@ ORACLE_SQL = {
         dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2)
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans
         FROM g JOIN dup USING (gram) GROUP BY doc_id
+    ''',
+    # end-to-end curation: quality/lang filter -> exact dedup ->
+    # decontaminate -> 32/24 chunking, spliced from the component oracles
+    'curate_corpus_documents': r'''
+        WITH q AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   1.0 - LEAST(1.0,
+                     ( (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                     + (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                     + 0.5 * (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+                     ) / GREATEST(length(text), 1)) AS score,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+            FROM documents WHERE lang IN ('en', 'de', 'fr'))
+          WHERE score >= 0.8 AND n_tok >= 5),
+        reps AS (SELECT text, MIN(doc_id) AS doc_id FROM q GROUP BY text),
+        toks_all AS (
+          SELECT doc_id,
+                 regexp_extract_all(coalesce(text, ''), '[0-9A-Za-z_]+') AS ts
+          FROM documents),
+        bench AS (
+          SELECT DISTINCT gram FROM (
+            SELECT unnest(list_transform(range(1, len(sl) - 6),
+                                         i -> ''' + _GRAM8.replace('ts[', 'sl[') + r''')) AS gram
+            FROM (SELECT list_slice(ts, 6, 20) AS sl
+                  FROM toks_all WHERE doc_id % 97 = 0))),
+        tq AS (
+          SELECT doc_id,
+                 regexp_extract_all(coalesce(text, ''), '[0-9A-Za-z_]+') AS ts
+          FROM reps),
+        contaminated AS (
+          SELECT DISTINCT doc_id FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(ts) - 6),
+                                         i -> ''' + _GRAM8 + r''')) AS gram
+            FROM tq) g JOIN bench USING (gram)),
+        clean AS (SELECT tq.* FROM tq ANTI JOIN contaminated USING (doc_id)),
+        starts AS (
+          SELECT doc_id, ts, unnest(range(0, len(ts), 24)) AS s
+          FROM clean WHERE len(ts) > 0)
+        SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_id,
+               CAST(least(len(ts) - s, 32) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(list_slice(ts, s + 1, least(s + 32, len(ts))),
+                               ' ') AS chunk_text
+        FROM starts
     ''',
     # substring-dedup rewrite: tokens covered by any corpus-shared 8-gram
     # drop; parallel UNNESTs zip (i, gram) so spans carry their positions
