@@ -75,3 +75,53 @@ def grouped_agg(ds: ray.data.Dataset, keys: list[str],
     ensure_hash_shuffle()
     out = ds.groupby(keys).aggregate(*ray_aggs)
     return out.map_batches(lambda t: t.select(out_cols), batch_format='pyarrow')
+
+
+def grouped_quantiles(ds: ray.data.Dataset, key: str, value_col: str,
+                      percents: 'tuple[int, ...]' = (50, 90),
+                      num_partitions: 'int | None' = None,
+                      small: bool = False) -> ray.data.Dataset:
+    """Exact per-key quantiles with INTEGER index semantics: percentile
+    ``p`` is the element at rank ``(p * (n-1)) // 100`` of the key's
+    ascending-sorted values — pure integer arithmetic, so the result is
+    bit-replicable in SQL via ROW_NUMBER (ties within equal values pick
+    the same value regardless of tiebreak).  Output: one row per key with
+    ``n`` and one ``p<p>`` column per requested percentile.
+
+    Plan: ONE hash-keyed exchange co-locating each key's rows (the
+    ops.window pattern — partitioning assumption: one key's rows fit one
+    partition), then a fully vectorized sorted segment scan per block."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .window import _keyed_blocks
+
+    def scan(t: pa.Table) -> pa.Table:
+        if '__bucket' in t.column_names:
+            t = t.drop_columns(['__bucket'])
+        ktype = (t.schema.field(key).type if key in t.column_names
+                 else pa.int64())
+        cols = {key: pa.array([], ktype), 'n': pa.array([], pa.int64())}
+        for p in percents:
+            cols[f'p{p}'] = pa.array([], pa.int64())
+        if t.num_rows == 0:
+            return pa.table(cols)
+        t = t.sort_by([(key, 'ascending'), (value_col, 'ascending')])
+        kn = t[key].combine_chunks().to_numpy(zero_copy_only=False)
+        v = pc.cast(t[value_col], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        m = len(kn)
+        new = np.empty(m, bool)
+        new[0] = True
+        new[1:] = kn[1:] != kn[:-1]
+        starts = np.nonzero(new)[0]
+        n = np.diff(np.append(starts, m)).astype(np.int64)
+        out = {key: t[key].take(pa.array(starts)), 'n': pa.array(n)}
+        for p in percents:
+            idx = starts + (p * (n - 1)) // 100
+            out[f'p{p}'] = pa.array(v[idx])
+        return pa.table(out)
+
+    return _keyed_blocks(ds.select_columns([key, value_col]), key,
+                         num_partitions, small) \
+        .map_batches(scan, batch_format='pyarrow', batch_size=None)

@@ -784,6 +784,23 @@ def normalize_text_documents(sf_dir: str):
     return out.select_columns(['doc_id', 'norm_text', 'n_chars_norm'])
 
 
+def grouped_quantiles_events(sf_dir: str):
+    """Exact per-user value quantiles (p50/p90 of integer cents, index
+    semantics ``(p*(n-1))//100`` — ROW_NUMBER-replicable)."""
+    from ..ops.agg import grouped_quantiles
+    ds = read_parquet_clean(_p(sf_dir, 'events'), columns=['user_id', 'value'])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            'user_id': t['user_id'],
+            'v_cents': pc.cast(pc.floor(pc.multiply(
+                t['value'], pa.scalar(100.0))), pa.int64())})
+
+    return grouped_quantiles(ds.map_batches(cents, batch_format='pyarrow'),
+                             'user_id', 'v_cents', percents=(50, 90),
+                             small=_small_table(sf_dir, 'events'))
+
+
 def top_customers(sf_dir: str):
     from ..ops.agg import grouped_agg
     ds = read_parquet_clean(_p(sf_dir, 'orders'), columns=['o_custkey'])
@@ -1087,6 +1104,7 @@ QUERIES = {
     'token_freq_spectrum_documents': token_freq_spectrum_documents,
     'remove_dup_spans_documents': remove_dup_spans_documents,
     'curate_corpus_documents': curate_corpus_documents,
+    'grouped_quantiles_events': grouped_quantiles_events,
     'pii_redact_documents': pii_redact_documents,
     'boilerplate_paragraphs_pages': boilerplate_paragraphs_pages,
     'url_domain_stats_pages': url_domain_stats_pages,
@@ -1417,6 +1435,22 @@ ORACLE_SQL = {
                CAST(MIN(value_cents) OVER (w ROWS BETWEEN 2 PRECEDING
                     AND CURRENT ROW) AS BIGINT) AS roll_min_cents
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ''',
+    # exact per-key quantiles, integer index semantics (p*(n-1))//100
+    'grouped_quantiles_events': '''
+        WITH e AS (
+            SELECT user_id, CAST(FLOOR(value * 100) AS BIGINT) AS v
+            FROM events),
+        r AS (
+            SELECT user_id, v,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY v) - 1
+                       AS rk,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n
+            FROM e)
+        SELECT user_id, CAST(MAX(n) AS BIGINT) AS n,
+               MAX(CASE WHEN rk = (50 * (n - 1)) // 100 THEN v END) AS p50,
+               MAX(CASE WHEN rk = (90 * (n - 1)) // 100 THEN v END) AS p90
+        FROM r GROUP BY user_id
     ''',
     # interval (range) join: events into same-user 1-day purchase windows
     # (half-open bounds, exact integer cents)

@@ -311,3 +311,22 @@ def test_range_join_empty_left_side(ray_session):
     # the banded guard synthesizes a typed empty result
     banded = range_join(left, right, band_us=US, broadcast=False)
     assert set(banded.schema().names) >= {'user_id', 'ts', 'event_id', 'wid'}
+
+
+def test_grouped_quantiles(ray_session):
+    """Exact integer-index quantiles: p50 at rank (50*(n-1))//100 of the
+    sorted values, per key, both plans."""
+    from morph_kgc_ray.ops.agg import grouped_quantiles
+
+    t = pa.table({
+        'k': pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+        'v': pa.array([40, 10, 30, 20, 7, 5, 9], pa.int64())})
+    for small in (True, False):
+        out = grouped_quantiles(ray.data.from_arrow(t).repartition(3),
+                                'k', 'v', percents=(0, 50, 100),
+                                small=small).to_pandas().set_index('k')
+        # k=1 sorted [10,20,30,40]: p0=10, p50 rank (50*3)//100=1 -> 20, p100=40
+        assert (out.loc[1, 'p0'], out.loc[1, 'p50'], out.loc[1, 'p100']) \
+            == (10, 20, 40)
+        assert (out.loc[2, 'p50'], out.loc[3, 'p50']) == (5, 9)
+        assert out['n'].to_dict() == {1: 4, 2: 2, 3: 1}
