@@ -144,3 +144,31 @@ def mixture_sample(ds: ray.data.Dataset, group_col: str, id_col: str,
         return t.filter(pa.array(h < thr))
 
     return ds.map_batches(fn, batch_format='pyarrow')
+
+
+def split_by_hash(ds: ray.data.Dataset, id_col: str = 'doc_id',
+                  boundaries: 'tuple[tuple[str, int], ...]' = (
+                      ('train', 90), ('val', 95), ('test', 100)),
+                  seed: int = 0,
+                  split_col: str = 'split') -> ray.data.Dataset:
+    """Deterministic train/val/test assignment: bucket = seeded Knuth hash
+    of the id modulo 100; each ``(name, upper)`` boundary claims buckets
+    ``[prev_upper, upper)``.  Same seed -> same split on any cluster
+    layout or row order (unlike ``random_shuffle().split()``), and the
+    explicit hash formula is SQL-replicable bit-for-bit.  One stateless
+    zero-shuffle map stage."""
+    uppers = [u for _, u in boundaries]
+    if uppers != sorted(uppers) or uppers[-1] != 100:
+        raise ValueError('boundaries must be ascending and end at 100')
+    names = pa.array([n for n, _ in boundaries], pa.string())
+    edges = np.asarray(uppers, dtype=np.int64)
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)
+             + np.uint64(seed)) % np.uint64(1 << 32)
+        bucket = (h % np.uint64(100)).astype(np.int64)
+        idx = np.searchsorted(edges, bucket, side='right')
+        return t.append_column(split_col, names.take(pa.array(idx)))
+
+    return ds.map_batches(fn, batch_format='pyarrow')

@@ -784,6 +784,30 @@ def normalize_text_documents(sf_dir: str):
     return out.select_columns(['doc_id', 'norm_text', 'n_chars_norm'])
 
 
+def split_documents(sf_dir: str):
+    """Deterministic 90/5/5 train/val/test assignment by seeded Knuth hash
+    (bucket = h % 100; reproducible on any layout) — per-split doc counts
+    and char sums so the hash covers every assignment."""
+    from ..ops.agg import grouped_agg
+    from ..ops.sample import split_by_hash
+    ds = read_parquet_clean(_p(sf_dir, 'documents'),
+                            columns=['doc_id', 'n_chars'])
+    out = split_by_hash(ds, seed=7)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({'split': t['split'],
+                         'n_docs': pa.array(np.ones(t.num_rows, np.int64)),
+                         'sum_chars': pc.cast(t['n_chars'], pa.int64()),
+                         'max_doc': pc.cast(t['doc_id'], pa.int64())})
+
+    return grouped_agg(out.map_batches(partial, batch_format='pyarrow'),
+                       ['split'],
+                       [('n_docs', 'sum', 'n_docs'),
+                        ('sum_chars', 'sum', 'sum_chars'),
+                        ('max_doc', 'max', 'max_doc')],
+                       small=_small_table(sf_dir, 'documents'))
+
+
 def grouped_quantiles_events(sf_dir: str):
     """Exact per-user value quantiles (p50/p90 of integer cents, index
     semantics ``(p*(n-1))//100`` — ROW_NUMBER-replicable)."""
@@ -1105,6 +1129,7 @@ QUERIES = {
     'remove_dup_spans_documents': remove_dup_spans_documents,
     'curate_corpus_documents': curate_corpus_documents,
     'grouped_quantiles_events': grouped_quantiles_events,
+    'split_documents': split_documents,
     'pii_redact_documents': pii_redact_documents,
     'boilerplate_paragraphs_pages': boilerplate_paragraphs_pages,
     'url_domain_stats_pages': url_domain_stats_pages,
@@ -1435,6 +1460,19 @@ ORACLE_SQL = {
                CAST(MIN(value_cents) OVER (w ROWS BETWEEN 2 PRECEDING
                     AND CURRENT ROW) AS BIGINT) AS roll_min_cents
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ''',
+    # deterministic 90/5/5 split by seeded Knuth hash (bucket = h % 100)
+    'split_documents': '''
+        WITH b AS (
+            SELECT doc_id, n_chars,
+                   ((doc_id * 2654435761 + 7) % 4294967296) % 100 AS bucket
+            FROM documents)
+        SELECT CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               MAX(doc_id) AS max_doc
+        FROM b GROUP BY 1
     ''',
     # exact per-key quantiles, integer index semantics (p*(n-1))//100
     'grouped_quantiles_events': '''

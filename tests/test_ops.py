@@ -1171,3 +1171,21 @@ def test_remove_dup_spans_randomized_vs_python(ray_session):
         assert got.loc[d, 'n_removed'] == len(cov), d
         removed_total += len(cov)
     assert removed_total > 0  # plantings must exercise the removal path
+
+
+def test_split_by_hash_deterministic(ray_session):
+    import ray.data as rd
+
+    from morph_kgc_ray.ops.sample import split_by_hash
+
+    ds = rd.range(1000).map_batches(
+        lambda t: pa.table({'doc_id': t['id']}), batch_format='pyarrow')
+    a = split_by_hash(ds, seed=7).to_pandas().set_index('doc_id')['split']
+    b = split_by_hash(ds.repartition(7), seed=7).to_pandas() \
+        .set_index('doc_id')['split']
+    assert a.sort_index().equals(b.sort_index())  # layout-independent
+    frac = a.value_counts(normalize=True)
+    assert 0.8 < frac['train'] < 0.97 and set(frac.index) == {
+        'train', 'val', 'test'}
+    with pytest.raises(ValueError, match='boundaries'):
+        split_by_hash(ds, boundaries=(('a', 50), ('b', 40)))
