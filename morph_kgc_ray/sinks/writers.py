@@ -232,14 +232,24 @@ def _write_one_partition(f: pafs.FileSystem, root: str, pid, ds,
     f.create_dir(stage, recursive=True)
 
     # task-side writes; only (partition, shard, rows) rows reach the driver
+    import time as _time
+    t0 = _time.time()
     counts = ds.map_batches(_TripleShardWriter(f, stage, pid),
                             batch_format='pyarrow').take_all()
     rows = sum(r['rows'] for r in counts)
     shards = sorted(r['shard'] for r in counts)
     f.create_dir(stage, recursive=True)  # 0-block datasets never created it
     _prune_unlisted(f, stage, set(shards))
+    # per-partition lineage METRICS alongside the commit record: byte size
+    # (from the staged shards' file info) and write wall time — readers
+    # that only consume 'rows'/'shards' are unaffected by extra keys
+    n_bytes = sum(
+        (fi.size or 0) for fi in f.get_file_info(
+            [posixpath.join(stage, s) for s in shards]))
     _write_json(f, posixpath.join(stage, '_MANIFEST.json'),
-                {'partition': pid, 'rows': rows, 'shards': shards})
+                {'partition': pid, 'rows': rows, 'shards': shards,
+                 'bytes': int(n_bytes),
+                 'write_sec': round(_time.time() - t0, 3)})
     if atomic:
         f.move(stage, pdir)
     return {'rows': rows, 'skipped': False}
