@@ -46,7 +46,7 @@ BENCH_QUERIES = [
     'kmv_distinct_texts_documents', 'remove_boilerplate_pages',
     'tfidf_top_terms_documents', 'token_freq_spectrum_documents',
     'remove_dup_spans_documents', 'curate_corpus_documents',
-    'grouped_quantiles_events', 'split_documents',
+    'grouped_quantiles_events', 'split_documents', 'pack_sequences_documents',
 ]
 
 

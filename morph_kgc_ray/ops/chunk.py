@@ -68,3 +68,98 @@ def chunk_documents(ds: ray.data.Dataset, text_col: str = 'text',
             'chunk_text': pc.binary_join(lst, ' ')})
 
     return ds.map_batches(fn, batch_format='pyarrow')
+
+
+def pack_sequences(ds: ray.data.Dataset, key: str = 'source',
+                   id_col: str = 'doc_id', text_col: str = 'text',
+                   capacity: int = 256, eos: str = '<eos>',
+                   token_rx: str = '[^0-9A-Za-z_]+',
+                   num_partitions: 'int | None' = None,
+                   small: bool = False) -> ray.data.Dataset:
+    """GPT-style sequence PACKING — the combine-side complement of
+    :func:`chunk_documents`: within each ``key`` group, documents
+    concatenate in ``id_col`` order with one ``eos`` token between them
+    (and after the last), and the resulting token stream is cut into
+    fixed ``capacity``-token bins.  One output row per (key, bin):
+    ``n_tokens`` (== capacity except the final partial bin), ``n_docs``
+    (documents STARTING in the bin) and the packed text (tokens joined
+    by single spaces — the corpus-wide chunking normalization).
+
+    Physical plan = the sessionize shape: ONE hash-keyed exchange
+    co-locates each key's docs (partitioning assumption: one key's token
+    stream fits a partition — shard the key upstream if a single source
+    exceeds that), then a fully vectorized sorted scan: cumulative token
+    offsets give every token its global bin (``offset // capacity``), and
+    bins are contiguous after the sort, so assembly is one boundary scan
+    + ``ListArray`` + ``binary_join``.  Deterministic on any layout."""
+    from ..ops.window import _keyed_blocks
+
+    def scan(t: pa.Table) -> pa.Table:
+        ktype = (t.schema.field(key).type if key in t.column_names
+                 else pa.string())
+        empty = pa.table({key: pa.array([], ktype),
+                          'bin_id': pa.array([], pa.int64()),
+                          'n_tokens': pa.array([], pa.int64()),
+                          'n_docs': pa.array([], pa.int64()),
+                          'packed_text': pa.array([], pa.string())})
+        if '__bucket' in t.column_names:
+            t = t.drop_columns(['__bucket'])
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([(key, 'ascending'), (id_col, 'ascending')])
+        flat, counts = regex_tokens(t[text_col], token_rx)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        ndoc = t.num_rows
+        kn = t[key].combine_chunks()
+        kn_np = kn.to_numpy(zero_copy_only=False)
+        # interleave each doc's tokens with one trailing eos: build the
+        # combined stream via a gather index over [flat tokens..., eos]
+        m = counts + 1  # tokens + eos per doc
+        total = int(m.sum())
+        doc_of = np.repeat(np.arange(ndoc), m)
+        stream_off = np.concatenate(([0], np.cumsum(m)))[:-1]
+        within = np.arange(total) - stream_off[doc_of]
+        tok_off = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        is_eos = within == counts[doc_of]
+        gather = np.where(is_eos, len(flat), tok_off[doc_of] + within)
+        flat_s = pc.cast(flat, pa.string())
+        if isinstance(flat_s, pa.ChunkedArray):
+            flat_s = flat_s.combine_chunks()
+        vocab = pa.concat_arrays([flat_s, pa.array([eos], pa.string())])
+        stream = vocab.take(pa.array(gather))
+        # per-key stream positions restart at 0: subtract each key's start
+        new_key = np.empty(ndoc, bool)
+        new_key[0] = True
+        new_key[1:] = kn_np[1:] != kn_np[:-1]
+        key_start_doc = np.maximum.accumulate(
+            np.where(new_key, np.arange(ndoc), 0))
+        key_stream_start = stream_off[key_start_doc]
+        pos = np.arange(total) - key_stream_start[doc_of]
+        bin_of = pos // capacity
+        # bins are contiguous in stream order within each key
+        bin_key = key_start_doc[doc_of]  # key-group id per token
+        boundary = np.empty(total, bool)
+        boundary[0] = True
+        boundary[1:] = (bin_of[1:] != bin_of[:-1]) | \
+                       (bin_key[1:] != bin_key[:-1])
+        starts = np.nonzero(boundary)[0]
+        ends = np.append(starts[1:], total)
+        n_tokens = (ends - starts).astype(np.int64)
+        # docs starting in each bin: map each doc's first stream position
+        # to its output row via searchsorted over the bin starts
+        row_of_doc = np.searchsorted(starts, stream_off, side='right') - 1
+        n_docs = np.bincount(row_of_doc, minlength=len(starts)).astype(np.int64)
+        offsets = pa.array(np.append(starts, total).astype(np.int32))
+        lists = pa.ListArray.from_arrays(offsets, stream)
+        return pa.table({
+            key: kn.take(pa.array(doc_of[starts])),
+            'bin_id': pa.array(bin_of[starts].astype(np.int64)),
+            'n_tokens': n_tokens,
+            'n_docs': n_docs,
+            'packed_text': pc.cast(pc.binary_join(lists, ' '), pa.string()),
+        })
+
+    return _keyed_blocks(ds.select_columns([key, id_col, text_col]), key,
+                         num_partitions, small) \
+        .map_batches(scan, batch_format='pyarrow', batch_size=None)

@@ -206,6 +206,17 @@ def chunk_documents_windows(sf_dir: str):
     return chunk_documents(ds, window=32, stride=24)
 
 
+def pack_sequences_documents(sf_dir: str):
+    """GPT-style sequence packing per source: docs concatenate in doc_id
+    order with an <eos> separator and cut into 64-token bins — one row per
+    (source, bin) with token/doc counts and the packed text."""
+    from ..ops.chunk import pack_sequences
+    ds = read_parquet_clean(_p(sf_dir, 'documents'),
+                            columns=['source', 'doc_id', 'text'])
+    return pack_sequences(ds, key='source', capacity=64,
+                          small=_small_table(sf_dir, 'documents'))
+
+
 def unigram_lm_documents(sf_dir: str):
     """CCNet-style unigram LM quality scoring — the repo's trainable
     operator: pass 1 fits corpus token counts (partial value_counts per
@@ -1130,6 +1141,7 @@ QUERIES = {
     'curate_corpus_documents': curate_corpus_documents,
     'grouped_quantiles_events': grouped_quantiles_events,
     'split_documents': split_documents,
+    'pack_sequences_documents': pack_sequences_documents,
     'pii_redact_documents': pii_redact_documents,
     'boilerplate_paragraphs_pages': boilerplate_paragraphs_pages,
     'url_domain_stats_pages': url_domain_stats_pages,
@@ -1460,6 +1472,40 @@ ORACLE_SQL = {
                CAST(MIN(value_cents) OVER (w ROWS BETWEEN 2 PRECEDING
                     AND CURRENT ROW) AS BIGINT) AS roll_min_cents
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ''',
+    # GPT-style packing: per-source doc_id-ordered token stream (one <eos>
+    # after each doc) cut into 64-token bins; n_docs counts docs STARTING
+    # in the bin (their stream offset's bin)
+    'pack_sequences_documents': '''
+        WITH d AS (
+            SELECT source, doc_id,
+                   regexp_extract_all(coalesce(text, ''), '[0-9A-Za-z_]+')
+                       || ['<eos>'] AS ts
+            FROM documents),
+        o AS (
+            SELECT source, doc_id, ts,
+                   SUM(len(ts)) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - len(ts)
+                       AS off
+            FROM d),
+        tok AS (
+            SELECT source,
+                   off + UNNEST(range(0, len(ts))) AS pos,
+                   UNNEST(ts) AS tok
+            FROM o),
+        agg AS (
+            SELECT source, pos // 64 AS bin_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   string_agg(tok, ' ' ORDER BY pos) AS packed_text
+            FROM tok GROUP BY 1, 2),
+        starts AS (
+            SELECT source, off // 64 AS bin_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM o GROUP BY 1, 2)
+        SELECT agg.source, CAST(agg.bin_id AS BIGINT) AS bin_id,
+               agg.n_tokens, COALESCE(starts.n_docs, 0) AS n_docs,
+               agg.packed_text
+        FROM agg LEFT JOIN starts USING (source, bin_id)
     ''',
     # deterministic 90/5/5 split by seeded Knuth hash (bucket = h % 100)
     'split_documents': '''

@@ -1189,3 +1189,39 @@ def test_split_by_hash_deterministic(ray_session):
         'train', 'val', 'test'}
     with pytest.raises(ValueError, match='boundaries'):
         split_by_hash(ds, boundaries=(('a', 50), ('b', 40)))
+
+
+def test_pack_sequences(ray_session):
+    """GPT-style packing: per-key doc_id-ordered stream with <eos>
+    separators cut into fixed bins; n_docs counts docs starting in the
+    bin.  Both plans, multi-key blocks, empty docs."""
+    import ray.data as rd
+
+    from morph_kgc_ray.ops.chunk import pack_sequences
+
+    ds = rd.from_arrow(pa.table({
+        'source': pa.array(['a', 'a', 'b', 'a'], pa.string()),
+        'doc_id': pa.array([1, 2, 10, 3], pa.int64()),
+        'text': pa.array(['x y', 'z', 'w', 'p q r s'], pa.string())}))
+    want = [
+        ('a', 0, 3, 1, 'x y <eos>'),
+        ('a', 1, 3, 2, 'z <eos> p'),
+        ('a', 2, 3, 0, 'q r s'),
+        ('a', 3, 1, 0, '<eos>'),
+        ('b', 0, 2, 1, 'w <eos>'),
+    ]
+    for small in (True, False):
+        out = pack_sequences(ds.repartition(2), capacity=3,
+                             small=small).to_pandas() \
+            .sort_values(['source', 'bin_id'])
+        got = list(map(tuple, out[['source', 'bin_id', 'n_tokens',
+                                   'n_docs', 'packed_text']].values))
+        assert got == want, (small, got)
+    # empty doc still occupies one <eos> slot and counts as starting
+    ds2 = rd.from_arrow(pa.table({
+        'source': pa.array(['c', 'c'], pa.string()),
+        'doc_id': pa.array([1, 2], pa.int64()),
+        'text': pa.array(['', 'k'], pa.string())}))
+    out = pack_sequences(ds2, capacity=10, small=True).to_pandas()
+    assert list(out['packed_text']) == ['<eos> k <eos>']
+    assert list(out['n_docs']) == [2]
