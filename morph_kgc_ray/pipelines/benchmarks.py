@@ -43,8 +43,12 @@ def _p(sf_dir: str, table: str) -> str:
 def _small(sf_dir: str, table: str, cap_bytes: int = 64 << 20) -> bool:
     """Plan-time small-input hint from the file size (mirrors the engine's
     small-source fast-path decision): below the cap, keyed exchanges are
-    pure spin-up overhead and ops switch to single-block plans."""
+    pure spin-up overhead and ops switch to single-block plans.
+    ``GRAFT_FORCE_DISTRIBUTED=1`` disables every small fast path so the
+    whole oracle sweep exercises the distributed plans."""
     import os
+    if os.environ.get('GRAFT_FORCE_DISTRIBUTED'):
+        return False
     try:
         return os.path.getsize(_p(sf_dir, table)) <= cap_bytes
     except OSError:
@@ -278,8 +282,11 @@ def quality_filter_documents(sf_dir: str):
 
 
 def _small_table(sf_dir: str, name: str, cap: int = 64 * 1024 * 1024) -> bool:
-    """Plan-time combine-plan choice for grouped_agg (file size, no read)."""
+    """Plan-time combine-plan choice for grouped_agg (file size, no read).
+    ``GRAFT_FORCE_DISTRIBUTED=1`` disables the fast path (see _small)."""
     import os
+    if os.environ.get('GRAFT_FORCE_DISTRIBUTED'):
+        return False
     try:
         return os.path.getsize(_p(sf_dir, name)) < cap
     except OSError:
