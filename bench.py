@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     'tfidf_top_terms_documents', 'token_freq_spectrum_documents',
     'remove_dup_spans_documents', 'curate_corpus_documents',
     'grouped_quantiles_events', 'split_documents', 'pack_sequences_documents',
+    'simhash_neardup_pairs_documents',
 ]
 
 

@@ -1224,3 +1224,95 @@ def remove_dup_spans(ds: 'ray.data.Dataset', id_col: str = 'doc_id',
                 (counts - kept_per_doc).astype(np.int64))})
 
     return ds.map_batches(rewrite, batch_format='pyarrow')
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for uint64 arrays (numpy<2 has no
+    bitwise_count): unpack the raw bytes to bits and sum per word."""
+    return np.unpackbits(x.view(np.uint8)).reshape(-1, 64).sum(axis=1) \
+        .astype(np.int64)
+
+
+def simhash_neardup_pairs(ds: ray.data.Dataset, id_col: str = 'doc_id',
+                          text_col: str = 'text', max_hamming: int = 3,
+                          all_pairs_cap: int = 256,
+                          num_partitions: 'int | None' = None,
+                          small: bool = False,
+                          sig_cap: int = 50_000_000) -> ray.data.Dataset:
+    """The third near-dup family end-to-end (beside MinHash and embedding
+    LSH): document pairs whose 64-bit SimHash signatures are within
+    ``max_hamming``.  Hamming-ball banding by pigeonhole: the signature
+    splits into ``max_hamming + 1`` equal segments, and a pair differing
+    in ≤ ``max_hamming`` bits touches ≤ ``max_hamming`` segments, so it
+    agrees EXACTLY on at least one — candidates come from one
+    segment-keyed exchange (the MinHash ``_bucket_pairs`` machinery,
+    hot-bucket guard included), then exact popcount verification runs
+    against a broadcast (id → signature) table (``sig_cap`` bounds the
+    broadcast; at web scale shard the verify by id range instead).
+    Returns (id_a, id_b, hamming) with ``id_a < id_b``."""
+    import ray as _ray
+
+    sigs = simhash(ds.select_columns([id_col, text_col]))
+    nseg = max_hamming + 1
+    width = 64 // nseg
+
+    # collect + broadcast the signature table once (also used to band —
+    # the corpus passes the kernel exactly once)
+    parts_i, parts_s = [], []
+    total = 0
+    for t in sigs.iter_batches(batch_format='pyarrow'):
+        parts_i.append(pc.cast(t[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False))
+        parts_s.append(t['simhash'].to_numpy(zero_copy_only=False)
+                       .astype(np.uint64))
+        total += t.num_rows
+        if total > sig_cap:
+            raise ValueError(f'signature table exceeds sig_cap={sig_cap}')
+    ids = np.concatenate(parts_i) if parts_i else np.empty(0, np.int64)
+    sg = np.concatenate(parts_s) if parts_s else np.empty(0, np.uint64)
+    order = np.argsort(ids, kind='stable')
+    ids, sg = ids[order], sg[order]
+    ref = _ray.put((ids, sg))
+
+    def bands_fn(t: pa.Table) -> pa.Table:
+        s = t['simhash'].to_numpy(zero_copy_only=False).astype(np.uint64)
+        did = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        mask = np.uint64((1 << width) - 1)
+        bb, hh, ii = [], [], []
+        for seg in range(nseg):
+            bb.append(np.full(len(s), seg, np.int32))
+            hh.append((s >> np.uint64(seg * width)) & mask)
+            ii.append(did)
+        return pa.table({'band': pa.array(np.concatenate(bb)),
+                         'band_hash': pa.array(np.concatenate(hh)),
+                         id_col: pa.array(np.concatenate(ii))})
+
+    band_ds = sigs.map_batches(bands_fn, batch_format='pyarrow')
+    pairs = _bucket_pairs(band_ds, id_col, all_pairs_cap=all_pairs_cap,
+                          num_partitions=num_partitions, small=small)
+
+    def verify(t: pa.Table) -> pa.Table:
+        empty = pa.table({'id_a': pa.array([], pa.int64()),
+                          'id_b': pa.array([], pa.int64()),
+                          'hamming': pa.array([], pa.int64())})
+        if t.num_rows == 0 or 'id_a' not in t.column_names:
+            return empty
+        sid, ssig = _ray.get(ref)
+        a = pc.cast(t['id_a'], pa.int64()).to_numpy(zero_copy_only=False)
+        b = pc.cast(t['id_b'], pa.int64()).to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        sa = ssig[np.searchsorted(sid, lo)]
+        sb = ssig[np.searchsorted(sid, hi)]
+        hd = _popcount64(sa ^ sb)
+        keep = hd <= max_hamming
+        return pa.table({'id_a': pa.array(lo[keep]),
+                         'id_b': pa.array(hi[keep]),
+                         'hamming': pa.array(hd[keep])})
+
+    verified = pairs.map_batches(verify, batch_format='pyarrow')
+    # the same pair can surface from different bands in DIFFERENT blocks;
+    # a grouped min (hamming is identical for every copy) is the global
+    # distinct — block partials first, so duplicates collapse pre-exchange
+    from .agg import grouped_agg
+    return grouped_agg(verified, ['id_a', 'id_b'],
+                       [('hamming', 'min', 'hamming')], small=small)

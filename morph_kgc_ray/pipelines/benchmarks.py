@@ -964,6 +964,15 @@ def embedding_neardup_clusters_lsh(sf_dir: str):
         corpus, threshold=0.95, num_hyperplanes=256, bands=8)
 
 
+def simhash_neardup_pairs_documents(sf_dir: str):
+    """SimHash near-dup pairs (hamming <= 3) via Hamming-ball banding —
+    the third near-dup family end-to-end; hash-checked against the exact
+    all-pairs popcount SQL over the recomputed signatures."""
+    ds = read_parquet_clean(_p(sf_dir, 'documents'), columns=['doc_id', 'text'])
+    return dedup_ops.simhash_neardup_pairs(
+        ds, max_hamming=3, small=_small_table(sf_dir, 'documents'))
+
+
 def simhash_documents(sf_dir: str):
     """SimHash signatures (oracle-checked: the sha256 word hash is
     recomputed bit-exactly in DuckDB SQL)."""
@@ -1168,6 +1177,7 @@ QUERIES = {
     'jaccard_verified_pairs_documents': jaccard_verified_pairs_documents,
     'minhash_dedup_documents': minhash_dedup_documents,
     'simhash_documents': simhash_documents,
+    'simhash_neardup_pairs_documents': simhash_neardup_pairs_documents,
     'lang_id_documents': lang_id_documents,
     'ivf_ann_embeddings': ivf_ann_embeddings,
     'ivf_recall_embeddings': ivf_recall_embeddings,
@@ -2073,6 +2083,16 @@ def _simhash_oracle_sql() -> str:
 
 
 ORACLE_SQL['simhash_documents'] = _simhash_oracle_sql()
+
+# near-dup pairs: exact all-pairs popcount over the same recomputed
+# signatures (the banding plan must find every pair within the ball)
+ORACLE_SQL['simhash_neardup_pairs_documents'] = f'''
+    WITH sig AS ({_simhash_oracle_sql()})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+'''
 
 # the deterministic fake decode: sha256 of the payload bytes, width/height
 # from the first two digest bytes (ops/multimodal.py ImageDecodeKernel)

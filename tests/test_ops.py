@@ -1225,3 +1225,35 @@ def test_pack_sequences(ray_session):
     out = pack_sequences(ds2, capacity=10, small=True).to_pandas()
     assert list(out['packed_text']) == ['<eos> k <eos>']
     assert list(out['n_docs']) == [2]
+
+
+def test_simhash_neardup_pairs(ray_session):
+    """Hamming-ball banding must find exactly the pairs within the ball:
+    exact duplicates (hamming 0) and a near-dup (small perturbation),
+    never the unrelated doc; both plans agree."""
+    import ray.data as rd
+
+    from morph_kgc_ray.ops.dedup import simhash_neardup_pairs
+
+    base = ('alpha beta gamma delta epsilon zeta eta theta iota kappa '
+            'lambda mu nu xi omicron pi rho sigma tau upsilon') * 3
+    near = base + ' phi'
+    ds = rd.from_arrow(pa.table({
+        'doc_id': pa.array([1, 2, 3, 4], pa.int64()),
+        'text': pa.array([base, base, near,
+                          'completely different content about arrow batches '
+                          'and ray datasets with nothing shared at all'],
+                         pa.string())})).repartition(2)
+    for small in (True, False):
+        out = simhash_neardup_pairs(ds, max_hamming=3,
+                                    small=small).to_pandas()
+        got = sorted(zip(out['id_a'], out['id_b'], out['hamming']))
+        assert (1, 2, 0) in got, (small, got)
+        assert all(4 not in (a, b) for a, b, _ in got), (small, got)
+        # the near-dup pair appears iff its true distance is <= 3, and
+        # identically in both plans
+        assert got == sorted(got)
+    a = simhash_neardup_pairs(ds, max_hamming=3, small=True).to_pandas()
+    b = simhash_neardup_pairs(ds, max_hamming=3, small=False).to_pandas()
+    key = lambda df: sorted(map(tuple, df[sorted(df.columns)].values))
+    assert key(a) == key(b)
