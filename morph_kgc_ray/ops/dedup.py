@@ -1252,7 +1252,11 @@ def simhash_neardup_pairs(ds: ray.data.Dataset, id_col: str = 'doc_id',
     Returns (id_a, id_b, hamming) with ``id_a < id_b``."""
     import ray as _ray
 
-    sigs = simhash(ds.select_columns([id_col, text_col]))
+    # materialize the signatures ONCE: both the broadcast collect and the
+    # banding pass read them, and a lazy Dataset would re-run the kernel
+    # for each consumer (signatures are 16 bytes/doc — tiny vs the text)
+    sigs = simhash(ds.select_columns([id_col, text_col])) \
+        .select_columns([id_col, 'simhash']).materialize()
     nseg = max_hamming + 1
     width = 64 // nseg
 
